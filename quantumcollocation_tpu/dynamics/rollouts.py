@@ -1,0 +1,142 @@
+"""Forward simulation (rollouts) for initialization and ground-truth validation.
+
+The collocation solver's fidelity is always VALIDATED by rollout, never by
+trusting the collocation state — mirroring the reference's test pattern
+(/root/reference/src/problem_templates/unitary_smooth_pulse_problem.jl:218-221,
+docs/literate/man/rollouts.jl:10-15).
+
+Rollouts are sequential in t (lax.scan) and vmapped over batch instances.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..quantum.fidelities import (
+    iso_fidelity,
+    iso_vec_unitary_fidelity,
+    iso_vec_unitary_free_phase_fidelity,
+)
+from ..quantum.isomorphisms import operator_to_iso_vec
+from .expm import expm_squaring
+
+__all__ = [
+    "rollout",
+    "unitary_rollout",
+    "open_rollout",
+    "rollout_fidelity",
+    "unitary_rollout_fidelity",
+    "open_rollout_fidelity",
+]
+
+
+def _propagators(generators, dts, order=12, num_squarings=8):
+    """Batched propagators exp(G_t dt_t) for all knots at once (parallel-in-t)."""
+    X = generators * dts[:, None, None]
+    return jax.vmap(
+        partial(expm_squaring, order=order, num_squarings=num_squarings)
+    )(X)
+
+
+def _scan_apply(Ps, x0_mat):
+    """Sequentially apply propagators: x_{t+1} = P_t x_t, return all knots."""
+
+    def step(x, P):
+        x_next = P @ x
+        return x_next, x_next
+
+    _, xs = jax.lax.scan(step, x0_mat, Ps)
+    return jnp.concatenate([x0_mat[None], xs], axis=0)
+
+
+def rollout(psi_iso_init, controls, dts, system, *, order=12, num_squarings=8):
+    """Ket rollout.  controls: (T, n_drives); dts: (T,).  Returns (T, 2N).
+
+    Uses the T-1 leading controls/timesteps (knot t propagates t -> t+1).
+    """
+    psi0 = jnp.asarray(psi_iso_init)
+    Gs = jax.vmap(system.generator)(jnp.asarray(controls)[:-1])
+    Ps = _propagators(Gs, jnp.asarray(dts)[:-1], order, num_squarings)
+    return _scan_apply(Ps, psi0[:, None])[..., 0]
+
+
+def unitary_rollout(
+    U_iso_vec_init, controls, dts, system, *, order=12, num_squarings=8
+):
+    """Unitary rollout on iso-vec states.  Returns (T, 2N^2)."""
+    v0 = jnp.asarray(U_iso_vec_init)
+    n2 = v0.shape[-1]
+    N = int(round((n2 / 2) ** 0.5))
+    U0 = v0.reshape(N, 2 * N).T  # (2N, N) iso operator
+    Gs = jax.vmap(system.generator)(jnp.asarray(controls)[:-1])
+    Ps = _propagators(Gs, jnp.asarray(dts)[:-1], order, num_squarings)
+    Us = _scan_apply(Ps, U0)  # (T, 2N, N)
+    return jnp.swapaxes(Us, -1, -2).reshape(Us.shape[0], -1)
+
+
+def open_rollout(
+    rho_iso_vec_init, controls, dts, system, *, order=8, num_squarings=8
+):
+    """Density-matrix (Lindblad) rollout on iso-vec states. Returns (T, 2N^2)."""
+    r0 = jnp.asarray(rho_iso_vec_init)
+    Ds = jax.vmap(system.lindblad_generator)(jnp.asarray(controls)[:-1])
+    Ps = _propagators(Ds, jnp.asarray(dts)[:-1], order, num_squarings)
+    return _scan_apply(Ps, r0[:, None])[..., 0]
+
+
+# --------------------------------------------------------------------------- #
+# trajectory-level fidelity validation
+# --------------------------------------------------------------------------- #
+
+
+def _traj_controls(traj, drive_name="a"):
+    return traj[drive_name], traj.get_timesteps()
+
+
+def rollout_fidelity(traj, system, *, state_name="ψ̃", drive_name="a"):
+    """Ground-truth ket fidelity: roll initial state forward under the
+    trajectory's controls and compare with the goal."""
+    a, dts = _traj_controls(traj, drive_name)
+    psi0 = jnp.asarray(traj.initial[state_name])
+    goal = jnp.asarray(traj.goal[state_name])
+    psis = rollout(psi0, a, dts, system)
+    return iso_fidelity(psis[-1], goal)
+
+
+def unitary_rollout_fidelity(
+    traj,
+    system,
+    *,
+    state_name="Ũ⃗",
+    drive_name="a",
+    subspace=None,
+    phases=None,
+    phase_operators=None,
+):
+    """Ground-truth unitary fidelity by rollout (the reference's
+    `unitary_rollout_fidelity`, call sites unitary_smooth_pulse_problem.jl:218-221)."""
+    a, dts = _traj_controls(traj, drive_name)
+    v0 = jnp.asarray(traj.initial[state_name])
+    goal = jnp.asarray(traj.goal[state_name])
+    Us = unitary_rollout(v0, a, dts, system)
+    if phases is not None:
+        return iso_vec_unitary_free_phase_fidelity(
+            Us[-1], goal, phases, phase_operators, subspace=subspace
+        )
+    return iso_vec_unitary_fidelity(Us[-1], goal, subspace=subspace)
+
+
+def open_rollout_fidelity(
+    traj, system, psi_goal, *, state_name="ρ⃗̃", drive_name="a"
+):
+    """Rollout fidelity <psi|rho_T|psi> for open-system pulse design."""
+    from ..quantum.fidelities import density_pure_state_fidelity
+    from ..quantum.isomorphisms import iso_vec_to_density
+
+    a, dts = _traj_controls(traj, drive_name)
+    r0 = jnp.asarray(traj.initial[state_name])
+    rhos = open_rollout(r0, a, dts, system)
+    return density_pure_state_fidelity(iso_vec_to_density(rhos[-1]), psi_goal)

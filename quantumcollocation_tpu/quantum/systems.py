@@ -1,0 +1,245 @@
+"""Quantum system containers as JAX pytrees.
+
+TPU-first re-design of the reference's PiccoloQuantumObjects system types
+(call-site surface: /root/reference/src/quantum_system_templates/transmons.jl:98-102,
+cats.jl:47-52, README.md:110).  Each system stores *stacked* drive Hamiltonians
+and their real iso generators so that H(a) = H_drift + sum_j a_j H_drives[j]
+is a single tensor contraction — MXU friendly and vmappable over control
+batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .isomorphisms import iso_D, iso_G
+from .operators import lift
+
+__all__ = [
+    "QuantumSystem",
+    "OpenQuantumSystem",
+    "CompositeQuantumSystem",
+    "QuantumSystemCoupling",
+]
+
+
+def _stack_drives(H_drives, levels):
+    if H_drives is None or (isinstance(H_drives, (list, tuple)) and len(H_drives) == 0):
+        return jnp.zeros((0, levels, levels), dtype=jnp.complex64 if not jax.config.jax_enable_x64 else jnp.complex128)
+    if isinstance(H_drives, (list, tuple)):
+        return jnp.stack([jnp.asarray(H, dtype=complex) for H in H_drives])
+    H_drives = jnp.asarray(H_drives, dtype=complex)
+    if H_drives.ndim == 2:
+        H_drives = H_drives[None]
+    return H_drives
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class QuantumSystem:
+    """Closed quantum system: H(a) = H_drift + sum_j a_j H_drives[j].
+
+    Fields (mirroring the reference API surface):
+      - H_drift: (N, N) complex
+      - H_drives: (n_drives, N, N) complex, stacked
+      - G_drift: (2N, 2N) real iso generator of -i H_drift
+      - G_drives: (n_drives, 2N, 2N) real iso generators
+      - n_drives, levels: static ints
+      - params: static metadata dict
+    """
+
+    H_drift: Any
+    H_drives: Any
+    G_drift: Any
+    G_drives: Any
+    n_drives: int
+    levels: int
+    params: Any
+
+    def __init__(self, H_drift=None, H_drives=None, *, params=None):
+        # Convenience: QuantumSystem([H1, H2]) means drift-free system
+        # (reference pattern: QuantumSystem(H_drives::Vector)).
+        if H_drives is None and isinstance(H_drift, (list, tuple)):
+            H_drives, H_drift = H_drift, None
+        if H_drift is None:
+            if H_drives is None:
+                raise ValueError("need at least one of H_drift / H_drives")
+            first = H_drives[0] if isinstance(H_drives, (list, tuple)) else H_drives
+            n = np.asarray(first).shape[-1]
+            H_drift = jnp.zeros((n, n), dtype=complex)
+        H_drift = jnp.asarray(H_drift, dtype=complex)
+        levels = H_drift.shape[-1]
+        H_drives = _stack_drives(H_drives, levels)
+        object.__setattr__(self, "H_drift", H_drift)
+        object.__setattr__(self, "H_drives", H_drives)
+        object.__setattr__(self, "G_drift", iso_G(H_drift))
+        object.__setattr__(
+            self,
+            "G_drives",
+            jax.vmap(iso_G)(H_drives)
+            if H_drives.shape[0] > 0
+            else jnp.zeros((0, 2 * levels, 2 * levels)),
+        )
+        object.__setattr__(self, "n_drives", int(H_drives.shape[0]))
+        object.__setattr__(self, "levels", int(levels))
+        object.__setattr__(self, "params", dict(params) if params else {})
+
+    # -- pytree protocol ---------------------------------------------------
+    def tree_flatten(self):
+        children = (self.H_drift, self.H_drives, self.G_drift, self.G_drives)
+        aux = (self.n_drives, self.levels, tuple(sorted(self.params.items(), key=lambda kv: str(kv[0]))))
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        object.__setattr__(obj, "H_drift", children[0])
+        object.__setattr__(obj, "H_drives", children[1])
+        object.__setattr__(obj, "G_drift", children[2])
+        object.__setattr__(obj, "G_drives", children[3])
+        object.__setattr__(obj, "n_drives", aux[0])
+        object.__setattr__(obj, "levels", aux[1])
+        object.__setattr__(obj, "params", dict(aux[2]))
+        return obj
+
+    # -- physics -----------------------------------------------------------
+    def hamiltonian(self, a):
+        """H(a) = H_drift + sum_j a_j H_drives[j]."""
+        a = jnp.asarray(a)
+        if self.n_drives == 0:
+            return self.H_drift
+        return self.H_drift + jnp.tensordot(a.astype(self.H_drives.dtype), self.H_drives, axes=1)
+
+    def generator(self, a):
+        """Real iso generator G(a) = G_drift + sum_j a_j G_drives[j]."""
+        a = jnp.asarray(a)
+        if self.n_drives == 0:
+            return self.G_drift
+        return self.G_drift + jnp.tensordot(a.astype(self.G_drives.dtype), self.G_drives, axes=1)
+
+    @property
+    def iso_dim(self) -> int:
+        return 2 * self.levels
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class OpenQuantumSystem(QuantumSystem):
+    """Open (Lindblad) quantum system with dissipators.
+
+    Adds stacked dissipators and precomputed real iso Lindblad superoperators:
+      - L_dissipators: (k, N, N) complex
+      - D_drift: (2N^2, 2N^2) real — iso superoperator of
+        -i[H_drift, .] + dissipators
+      - D_drives: (n_drives, 2N^2, 2N^2) real — iso superoperators of
+        -i[H_j, .]
+    Mirrors the OpenQuantumSystem surface used at
+    /root/reference/src/quantum_system_templates/cats.jl:47-52.
+    """
+
+    L_dissipators: Any = None
+    D_drift: Any = None
+    D_drives: Any = None
+
+    def __init__(self, H_drift=None, H_drives=None, L_dissipators=None, *, params=None):
+        super().__init__(H_drift, H_drives, params=params)
+        Ls = L_dissipators or []
+        if isinstance(Ls, (list, tuple)):
+            Ls = (
+                jnp.stack([jnp.asarray(L, dtype=complex) for L in Ls])
+                if len(Ls)
+                else jnp.zeros((0, self.levels, self.levels), dtype=complex)
+            )
+        object.__setattr__(self, "L_dissipators", Ls)
+        object.__setattr__(self, "D_drift", iso_D(self.H_drift, list(Ls)))
+        if self.n_drives:
+            object.__setattr__(
+                self,
+                "D_drives",
+                jnp.stack([iso_D(Hj, []) for Hj in self.H_drives]),
+            )
+        else:
+            n2 = 2 * self.levels**2
+            object.__setattr__(self, "D_drives", jnp.zeros((0, n2, n2)))
+
+    def tree_flatten(self):
+        children = (
+            self.H_drift,
+            self.H_drives,
+            self.G_drift,
+            self.G_drives,
+            self.L_dissipators,
+            self.D_drift,
+            self.D_drives,
+        )
+        aux = (self.n_drives, self.levels, tuple(sorted(self.params.items(), key=lambda kv: str(kv[0]))))
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        names = ("H_drift", "H_drives", "G_drift", "G_drives", "L_dissipators", "D_drift", "D_drives")
+        for name, child in zip(names, children):
+            object.__setattr__(obj, name, child)
+        object.__setattr__(obj, "n_drives", aux[0])
+        object.__setattr__(obj, "levels", aux[1])
+        object.__setattr__(obj, "params", dict(aux[2]))
+        return obj
+
+    def lindblad_generator(self, a):
+        """Real iso Lindblad superoperator D(a) = D_drift + sum_j a_j D_drives[j]."""
+        a = jnp.asarray(a)
+        if self.n_drives == 0:
+            return self.D_drift
+        return self.D_drift + jnp.tensordot(a.astype(self.D_drives.dtype), self.D_drives, axes=1)
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantumSystemCoupling:
+    """A coupling term in a composite system.
+
+    Mirrors the constructor signature used at
+    /root/reference/src/quantum_system_templates/transmons.jl:163-170.
+    `op` is the full-Hilbert-space coupling operator.
+    """
+
+    op: Any
+    g: float = 0.0
+    pair: tuple = ()
+    subsystem_levels: tuple = ()
+    coupling_type: Any = None
+    params: Any = dataclasses.field(default_factory=dict)
+
+
+@jax.tree_util.register_pytree_node_class
+class CompositeQuantumSystem(QuantumSystem):
+    """Tensor-product composite of subsystems plus coupling terms.
+
+    H_drift = sum_i lift(H_drift_i) + sum_c coupling.op ; drives are the
+    lifted drives of each subsystem in order.  Mirrors
+    /root/reference/src/quantum_system_templates/transmons.jl:198-242.
+    """
+
+    def __init__(self, subsystems: Sequence[QuantumSystem], couplings: Sequence[QuantumSystemCoupling] = (), *, params=None):
+        levels = [int(s.levels) for s in subsystems]
+        H_drift = 0
+        for i, sub in enumerate(subsystems):
+            H_drift = H_drift + lift(np.asarray(sub.H_drift), i, levels)
+        for c in couplings:
+            H_drift = H_drift + np.asarray(c.op)
+        H_drives = []
+        for i, sub in enumerate(subsystems):
+            for j in range(sub.n_drives):
+                H_drives.append(lift(np.asarray(sub.H_drives[j]), i, levels))
+        merged = dict(params or {})
+        merged.setdefault("subsystem_levels", tuple(levels))
+        super().__init__(H_drift, H_drives, params=merged)
+        # static extras (not part of the pytree)
+        self.__dict__["subsystems"] = tuple(subsystems)
+        self.__dict__["couplings"] = tuple(couplings)
+        self.__dict__["subsystem_levels"] = tuple(levels)

@@ -1,0 +1,17 @@
+"""Trajectory containers, initialization, interpolation, and direct sums."""
+
+from .named_trajectory import NamedTrajectory, derivative
+from .initialization import (
+    initialize_control_trajectory,
+    initialize_density_trajectory,
+    initialize_state_trajectory,
+    initialize_trajectory,
+    initialize_unitary_trajectory,
+    linear_interpolation,
+    unitary_geodesic,
+    unitary_linear_interpolation,
+)
+from .interpolation import DataInterpolation
+from .directsums import add_suffix, get_suffix, merge, remove_suffix
+
+__all__ = [name for name in dir() if not name.startswith("_")]
