@@ -1,0 +1,432 @@
+"""Batched primal-dual interior-point method over stage-structured NLPs.
+
+Replaces Ipopt (the reference's L1 native component, /root/reference/README.md:93)
+with an in-house IPM designed for TPU execution:
+
+- ALL state is shaped (batch, ...) — thousands of independent gate-synthesis
+  instances / multi-start seeds advance in lockstep, with per-instance
+  convergence masks (converged instances freeze).
+- The Newton/KKT step is the block-tridiagonal stage-wise factorization in
+  kkt.py (lax.scan over knots, vmapped over the batch).
+- Barrier schedule follows Fiacco-McCormick with Ipopt's default parameters
+  (kappa_mu=0.2, theta_mu=1.5); fraction-to-boundary with tau = max(tau_min,
+  1-mu); backtracking line search on an l1 merit function; adaptive primal
+  regularization delta_w with factorization-failure retries (the inertia
+  correction analog).
+
+Inequalities g(z) >= 0 are handled with slacks sigma and duals w; bounds with
+duals zl, zu; both are condensed into the stage Hessian (primal-dual Sigma
+terms) so the KKT system stays block-tridiagonal.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kkt import solve_kkt
+from .options import SolverOptions
+from .stage_nlp import StageNLP, make_nlp_functions
+
+__all__ = ["IPMState", "IPMResult", "InteriorPointSolver"]
+
+_BIG = 1e20
+
+
+class IPMState(NamedTuple):
+    Z: Any  # (B, T, d)
+    lam: Any  # (B, T-1, s)
+    sig: Any  # (B, T, m)
+    w: Any  # (B, T, m)
+    zl: Any  # (B, T, d)
+    zu: Any  # (B, T, d)
+    mu: Any  # (B,)
+    delta_w: Any  # (B,)
+    converged: Any  # (B,) bool
+    n_iter: Any  # (B,) int32
+    kkt_err: Any  # (B,)
+
+
+class IPMResult(NamedTuple):
+    Z: Any
+    lam: Any
+    converged: Any
+    n_iter: Any
+    kkt_err: Any
+    mu: Any
+    objective: Any
+
+
+@dataclasses.dataclass(eq=False)  # identity hash: jit-static self
+class InteriorPointSolver:
+    """Compiled IPM for one StageNLP structure (batched over instances)."""
+
+    nlp: StageNLP
+    options: SolverOptions = dataclasses.field(default_factory=SolverOptions)
+    exact_hessian: bool = True
+
+    def __post_init__(self):
+        self.funcs = make_nlp_functions(
+            self.nlp, exact_hessian=self.exact_hessian
+        )
+        nlp = self.nlp
+        # static masks (host numpy -> constants)
+        self._free = np.asarray(nlp.free_mask, dtype=np.float64)
+        lb = np.asarray(nlp.lb, dtype=np.float64)
+        ub = np.asarray(nlp.ub, dtype=np.float64)
+        self._has_lb = (np.isfinite(lb) & (self._free > 0)).astype(np.float64)
+        self._has_ub = (np.isfinite(ub) & (self._free > 0)).astype(np.float64)
+        self._lb = np.where(np.isfinite(lb), lb, -_BIG)
+        self._ub = np.where(np.isfinite(ub), ub, _BIG)
+
+    # ------------------------------------------------------------------ #
+    # initialization
+    # ------------------------------------------------------------------ #
+    def init_state(self, Z0):
+        """Z0: (B, T, d) initial primal values (batch required)."""
+        opts = self.options
+        nlp = self.nlp
+        Z0 = jnp.asarray(Z0)
+        assert Z0.ndim == 3, "Z0 must be (batch, T, d)"
+        B = Z0.shape[0]
+        dtype = Z0.dtype
+        lb = jnp.asarray(self._lb, dtype)
+        ub = jnp.asarray(self._ub, dtype)
+        has_lb = jnp.asarray(self._has_lb, dtype)
+        has_ub = jnp.asarray(self._has_ub, dtype)
+
+        # push strictly inside bounds (Ipopt kappa_1 = 1e-2 interior push)
+        width = jnp.where((has_lb * has_ub) > 0, ub - lb, 1.0)
+        pert = 1e-2 * jnp.minimum(
+            jnp.maximum(1.0, jnp.abs(lb)), width
+        )
+        pert_u = 1e-2 * jnp.minimum(jnp.maximum(1.0, jnp.abs(ub)), width)
+        zlo = jnp.where(has_lb > 0, lb + pert, -_BIG)
+        zhi = jnp.where(has_ub > 0, ub - pert_u, _BIG)
+        free = jnp.asarray(self._free, dtype)
+        Z = jnp.where(free > 0, jnp.clip(Z0, zlo, zhi), Z0)
+
+        mu0 = jnp.full((B,), opts.mu_init, dtype)
+        g0 = jax.vmap(self.funcs.ineqs)(Z)
+        sig = jnp.maximum(g0, 1e-2)
+        w = mu0[:, None, None] / sig if nlp.m > 0 else sig
+        zl = jnp.broadcast_to(has_lb, Z.shape) * 1.0
+        zu = jnp.broadcast_to(has_ub, Z.shape) * 1.0
+        return IPMState(
+            Z=Z,
+            lam=jnp.zeros((B, nlp.T - 1, nlp.s), dtype),
+            sig=sig,
+            w=w,
+            zl=zl,
+            zu=zu,
+            mu=mu0,
+            delta_w=jnp.zeros((B,), dtype),
+            converged=jnp.zeros((B,), bool),
+            n_iter=jnp.zeros((B,), jnp.int32),
+            kkt_err=jnp.full((B,), jnp.inf, dtype),
+        )
+
+    # ------------------------------------------------------------------ #
+    # single-instance iteration (vmapped over the batch by `step`)
+    # ------------------------------------------------------------------ #
+    def _iteration(self, state: IPMState) -> IPMState:
+        opts = self.options
+        nlp = self.nlp
+        f = self.funcs
+        T, d, s, m = nlp.T, nlp.d, nlp.s, nlp.m
+        Z, lam, sig, w, zl, zu, mu, delta_w, converged, n_iter, _ = state
+        dtype = Z.dtype
+
+        free = jnp.asarray(self._free, dtype)
+        has_lb = jnp.asarray(self._has_lb, dtype)
+        has_ub = jnp.asarray(self._has_ub, dtype)
+        lb = jnp.asarray(self._lb, dtype)
+        ub = jnp.asarray(self._ub, dtype)
+
+        sl = jnp.where(has_lb > 0, Z - lb, 1.0)  # slack to lower bound
+        su = jnp.where(has_ub > 0, ub - Z, 1.0)
+
+        # ---------------- residuals & KKT error ---------------- #
+        F = f.defects(Z)  # (T-1, s)
+        g = f.ineqs(Z)  # (T, m)
+        r_dual = (
+            f.grad_lagrangian(Z, lam, w) - has_lb * zl + has_ub * zu
+        ) * free
+
+        n_duals = (T - 1) * s + T * m + int(self._has_lb.sum() + self._has_ub.sum())
+        dual_sum = (
+            jnp.sum(jnp.abs(lam))
+            + jnp.sum(jnp.abs(w))
+            + jnp.sum(jnp.abs(zl) * has_lb)
+            + jnp.sum(jnp.abs(zu) * has_ub)
+        )
+        s_max = 100.0
+        s_d = jnp.maximum(s_max, dual_sum / max(n_duals, 1)) / s_max
+
+        E_dual = jnp.max(jnp.abs(r_dual)) / s_d
+        E_pr = jnp.max(jnp.abs(F))
+        if m > 0:
+            E_pr = jnp.maximum(E_pr, jnp.max(jnp.abs(g - sig)))
+
+        def comp_err(muv):
+            e = jnp.max(jnp.abs(sl * zl - muv) * has_lb, initial=0.0)
+            e = jnp.maximum(
+                e, jnp.max(jnp.abs(su * zu - muv) * has_ub, initial=0.0)
+            )
+            if m > 0:
+                e = jnp.maximum(e, jnp.max(jnp.abs(sig * w - muv)))
+            return e / s_d
+
+        E0 = jnp.maximum(jnp.maximum(E_dual, E_pr), comp_err(0.0))
+        now_converged = E0 <= opts.tol
+
+        # ---------------- barrier update ---------------- #
+        E_mu = jnp.maximum(jnp.maximum(E_dual, E_pr), comp_err(mu))
+        mu_next = jnp.where(
+            E_mu <= opts.kappa_epsilon * mu,
+            jnp.maximum(
+                opts.tol / 10.0,
+                jnp.minimum(opts.kappa_mu * mu, mu**opts.theta_mu),
+            ),
+            mu,
+        )
+        mu = mu_next
+        tau = jnp.maximum(opts.tau_min, 1.0 - mu)
+
+        # ---------------- assemble condensed KKT blocks ---------------- #
+        A, Bj, Jg = f.jac_blocks(Z)
+        H, C = f.hess_blocks(Z, lam, w)
+
+        Sig_l = jnp.where(has_lb > 0, zl / sl, 0.0)
+        Sig_u = jnp.where(has_ub > 0, zu / su, 0.0)
+        H = H + jax.vmap(jnp.diag)(Sig_l + Sig_u)
+        if m > 0:
+            Sig_g = w / sig  # (T, m)
+            H = H + jnp.einsum("tmi,tm,tmj->tij", Jg, Sig_g, Jg)
+
+        # variable masking (pinned initial/final values, inactive globals)
+        Mf = free  # (T, d)
+        H = H * Mf[:, :, None] * Mf[:, None, :] + jax.vmap(jnp.diag)(1.0 - Mf)
+        C = C * Mf[:-1, :, None] * Mf[1:, None, :]
+        A = A * Mf[:-1, None, :]
+        Bj = Bj * Mf[1:, None, :]
+
+        # condensed rhs
+        if m > 0:
+            w_hat = mu / sig - (w / sig) * (g - sig)
+        else:
+            w_hat = w
+        r_z = (
+            f.grad_lagrangian(Z, lam, w_hat)
+            - jnp.where(has_lb > 0, mu / sl, 0.0)
+            + jnp.where(has_ub > 0, mu / su, 0.0)
+        ) * free
+
+        # ---------------- factor + solve with reg retries ---------------- #
+        eye_d = jnp.eye(d, dtype=dtype)
+
+        def try_solve(dw):
+            Hreg = H + dw * eye_d[None]
+            return solve_kkt(Hreg, C, A, Bj, -r_z, -F, opts.delta_c)
+
+        def cond_fn(carry):
+            k, dw, dz, nu, ok = carry
+            return (~ok) & (k < 6)
+
+        def body_fn(carry):
+            k, dw, dz, nu, ok = carry
+            dw_try = jnp.where(
+                k == 0, dw, jnp.maximum(opts.delta_w_init, dw * 100.0)
+            )
+            dz2, nu2, ok2 = try_solve(dw_try)
+            return (k + 1, dw_try, dz2, nu2, ok2)
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            delta_w,
+            jnp.zeros_like(Z),
+            jnp.zeros((T - 1, s), dtype),
+            jnp.zeros((), bool),
+        )
+        _, dw_used, dz, nu, ok = jax.lax.while_loop(cond_fn, body_fn, init)
+        delta_w = jnp.where(dw_used > 0, dw_used / 3.0, 0.0)
+        dz = jnp.where(ok, dz, 0.0)
+        dlam = -jnp.where(ok, nu, 0.0)
+
+        # ---------------- recover slack/dual directions ---------------- #
+        if m > 0:
+            dsig = jnp.einsum("tmi,ti->tm", Jg, dz) + (g - sig)
+            dw_ineq = mu / sig - w - (w / sig) * dsig
+        else:
+            dsig = sig
+            dw_ineq = w
+        dzl = jnp.where(has_lb > 0, mu / sl - zl - Sig_l * dz, 0.0)
+        dzu = jnp.where(has_ub > 0, mu / su - zu + Sig_u * dz, 0.0)
+
+        # ---------------- fraction-to-boundary ---------------- #
+        def max_step(val, dval, mask):
+            # largest alpha with val + alpha*dval >= (1-tau)*val on mask
+            ratio = jnp.where((dval < 0) & (mask > 0), -tau * val / dval, 1.0)
+            return jnp.min(ratio, initial=1.0)
+
+        a_pri = jnp.minimum(
+            max_step(sl, dz, has_lb), max_step(su, -dz, has_ub)
+        )
+        if m > 0:
+            a_pri = jnp.minimum(a_pri, max_step(sig, dsig, jnp.ones_like(sig)))
+        a_dual = jnp.minimum(
+            max_step(zl, dzl, has_lb), max_step(zu, dzu, has_ub)
+        )
+        if m > 0:
+            a_dual = jnp.minimum(
+                a_dual, max_step(w, dw_ineq, jnp.ones_like(w))
+            )
+
+        # ---------------- merit line search ---------------- #
+        nu_pen = 1.2 * jnp.maximum(
+            jnp.max(jnp.abs(lam + dlam), initial=1.0),
+            jnp.max(jnp.abs(w + dw_ineq), initial=1.0) if m > 0 else 1.0,
+        )
+
+        def merit(Zc, sigc):
+            val = f.total_cost(Zc)
+            slc = jnp.where(has_lb > 0, Zc - lb, 1.0)
+            suc = jnp.where(has_ub > 0, ub - Zc, 1.0)
+            barrier = jnp.sum(jnp.log(jnp.maximum(slc, 1e-300)) * has_lb)
+            barrier += jnp.sum(jnp.log(jnp.maximum(suc, 1e-300)) * has_ub)
+            if m > 0:
+                barrier += jnp.sum(jnp.log(jnp.maximum(sigc, 1e-300)))
+            infeas = jnp.sum(jnp.abs(f.defects(Zc)))
+            if m > 0:
+                infeas += jnp.sum(jnp.abs(f.ineqs(Zc) - sigc))
+            return val - mu * barrier + nu_pen * infeas
+
+        m0 = merit(Z, sig)
+
+        def ls_cond(carry):
+            k, alpha, accepted = carry
+            return (~accepted) & (k < opts.max_ls_iters)
+
+        def ls_body(carry):
+            k, alpha, accepted = carry
+            a = a_pri * (0.5**k)
+            mval = merit(Z + a * dz, sig + a * dsig)
+            good = mval <= m0 - 1e-12 * jnp.abs(m0)
+            return (k + 1, jnp.where(good, a, alpha), accepted | good)
+
+        k_ls, alpha, accepted = jax.lax.while_loop(
+            ls_cond, ls_body, (jnp.zeros((), jnp.int32), a_pri * 0.5**(opts.max_ls_iters - 1), jnp.zeros((), bool))
+        )
+        # if line search failed entirely, still take the smallest step (keeps
+        # batch moving; restoration phase analog is noise re-init upstream)
+        alpha = jnp.where(ok, alpha, 0.0)
+
+        # ---------------- updates (frozen when converged) ---------------- #
+        upd = (~converged) & (~now_converged)
+        scale = jnp.where(upd, 1.0, 0.0)
+
+        Z_new = Z + scale * alpha * dz * free
+        lam_new = lam + scale * alpha * dlam
+        sig_new = sig + scale * alpha * dsig if m > 0 else sig
+        w_new = w + scale * a_dual * dw_ineq if m > 0 else w
+        zl_new = zl + scale * a_dual * dzl
+        zu_new = zu + scale * a_dual * dzu
+
+        # Ipopt kappa_Sigma safeguard: keep bound duals near mu/slack
+        kappa_sig = 1e10
+        sl_new = jnp.where(has_lb > 0, Z_new - lb, 1.0)
+        su_new = jnp.where(has_ub > 0, ub - Z_new, 1.0)
+        zl_new = jnp.where(
+            upd,
+            jnp.clip(zl_new, mu / (kappa_sig * sl_new), kappa_sig * mu / sl_new)
+            * has_lb,
+            zl,
+        )
+        zu_new = jnp.where(
+            upd,
+            jnp.clip(zu_new, mu / (kappa_sig * su_new), kappa_sig * mu / su_new)
+            * has_ub,
+            zu,
+        )
+        if m > 0:
+            w_new = jnp.where(
+                upd,
+                jnp.clip(
+                    w_new, mu / (kappa_sig * sig_new), kappa_sig * mu / sig_new
+                ),
+                w,
+            )
+
+        return IPMState(
+            Z=Z_new,
+            lam=lam_new,
+            sig=sig_new,
+            w=w_new,
+            zl=zl_new,
+            zu=zu_new,
+            mu=mu,
+            delta_w=delta_w,
+            converged=converged | now_converged,
+            n_iter=n_iter + jnp.where(upd, 1, 0).astype(jnp.int32),
+            kkt_err=E0,
+        )
+
+    # ------------------------------------------------------------------ #
+    # public API
+    # ------------------------------------------------------------------ #
+    @partial(jax.jit, static_argnums=(0,))
+    def step(self, state: IPMState) -> IPMState:
+        """One batched IPM iteration (vmapped single-instance Newton steps)."""
+        return jax.vmap(self._iteration)(state)
+
+    def solve(self, Z0, *, max_iter=None, callback=None) -> IPMResult:
+        """Run the IPM to convergence or max_iter.
+
+        Z0: (B, T, d).  With callback (called with (iter, IPMState) each
+        iteration; return False to stop — mirroring the reference's Ipopt
+        intermediate-callback protocol,
+        /root/reference/docs/literate/man/ipopt_callbacks.jl:17-37),
+        iterations run one jitted step per Python loop turn.  Without, the
+        whole loop is a single lax.while_loop on device.
+        """
+        max_iter = max_iter or self.options.max_iter
+        state = self.init_state(Z0)
+
+        if callback is not None:
+            for k in range(max_iter):
+                state = self.step(state)
+                if callback(k, state) is False:
+                    break
+                if bool(jnp.all(state.converged)):
+                    break
+        else:
+            state = self._solve_loop(state, max_iter)
+
+        obj = jax.vmap(self.funcs.total_cost)(state.Z)
+        return IPMResult(
+            Z=state.Z,
+            lam=state.lam,
+            converged=state.converged,
+            n_iter=state.n_iter,
+            kkt_err=state.kkt_err,
+            mu=state.mu,
+            objective=obj,
+        )
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def _solve_loop(self, state: IPMState, max_iter: int) -> IPMState:
+        def cond(carry):
+            k, st = carry
+            return (k < max_iter) & (~jnp.all(st.converged))
+
+        def body(carry):
+            k, st = carry
+            return (k + 1, jax.vmap(self._iteration)(st))
+
+        _, final = jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), state))
+        return final

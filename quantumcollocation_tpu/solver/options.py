@@ -1,0 +1,74 @@
+"""Solver and framework option structs.
+
+SolverOptions mirrors the reference's IpoptOptions surface (call sites:
+/root/reference/src/problem_templates/unitary_bang_bang_problem.jl:207,
+unitary_sampling_problem.jl:216) for the in-house interior-point method;
+PiccoloOptions mirrors the framework-level flag struct (field inventory:
+SURVEY.md §2b, uses at _problem_templates.jl:41-73).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+__all__ = ["SolverOptions", "IpoptOptions", "PiccoloOptions"]
+
+
+@dataclasses.dataclass
+class SolverOptions:
+    """Options for the batched primal-dual interior-point solver."""
+
+    print_level: int = 1
+    max_iter: int = 100
+    tol: float = 1e-8
+    # barrier schedule (Fiacco-McCormick, Ipopt defaults)
+    mu_init: float = 1e-1
+    kappa_mu: float = 0.2
+    theta_mu: float = 1.5
+    kappa_epsilon: float = 10.0
+    tau_min: float = 0.99
+    # regularization
+    delta_w_init: float = 1e-8
+    delta_w_min: float = 1e-20
+    delta_w_max: float = 1e6
+    delta_c: float = 1e-8
+    # line search
+    max_ls_iters: int = 10
+    armijo_eta: float = 1e-4
+    # dual recalculation (least-squares multiplier resets; the reference's
+    # recalc_y knob, unitary_robustness_problem.jl:166)
+    recalc_y: bool = False
+    recalc_y_feas_tol: float = 1e-6
+    # numerical type: None -> follow input dtype
+    dtype: str | None = None
+
+    def replace(self, **kwargs):
+        return dataclasses.replace(self, **kwargs)
+
+
+# Back-compatible alias: templates accept ipopt_options=...
+IpoptOptions = SolverOptions
+
+
+@dataclasses.dataclass
+class PiccoloOptions:
+    """Framework-level flags threaded through every problem template."""
+
+    verbose: bool = True
+    free_time: bool = True
+    timesteps_all_equal: bool = True
+    integrator: str = "pade"  # or "exponential"
+    pade_order: int = 4
+    rollout_integrator: str = "expm"
+    geodesic: bool = True
+    bound_state: bool = False
+    eval_hessian: bool = True
+    leakage_suppression: bool = False
+    R_leakage: float = 1.0
+    complex_control_norm_constraint_name: str | None = None
+    complex_control_norm_constraint_radius: float = 1.0
+    build_trajectory_constraints: bool = True
+    jacobian_structure: bool = True
+
+    def replace(self, **kwargs):
+        return dataclasses.replace(self, **kwargs)

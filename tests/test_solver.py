@@ -1,0 +1,215 @@
+"""Solver tests: KKT factorization exactness, IPM convergence on analytic
+problems (LQR with known solution, bound-constrained QP, inequality
+constraints), batching, and regularization retries."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quantumcollocation_tpu.solver import (
+    InteriorPointSolver,
+    SolverOptions,
+    StageNLP,
+    solve_kkt,
+)
+
+
+class TestKKT:
+    def test_matches_dense_solve(self):
+        rng = np.random.default_rng(0)
+        T, d, s = 5, 4, 2
+        delta_c = 1e-8
+        H = np.stack([np.eye(d) * 2 + 0.1 * rng.normal(size=(d, d)) for _ in range(T)])
+        H = 0.5 * (H + H.transpose(0, 2, 1))
+        C = 0.1 * rng.normal(size=(T - 1, d, d))
+        A = rng.normal(size=(T - 1, s, d))
+        B = rng.normal(size=(T - 1, s, d))
+        rz = rng.normal(size=(T, d))
+        rnu = rng.normal(size=(T - 1, s))
+
+        n = T * d + (T - 1) * s
+        K = np.zeros((n, n))
+        for t in range(T):
+            K[t * d:(t + 1) * d, t * d:(t + 1) * d] = H[t]
+        for t in range(T - 1):
+            K[t * d:(t + 1) * d, (t + 1) * d:(t + 2) * d] = C[t]
+            K[(t + 1) * d:(t + 2) * d, t * d:(t + 1) * d] = C[t].T
+            r0 = T * d + t * s
+            K[r0:r0 + s, t * d:(t + 1) * d] = A[t]
+            K[r0:r0 + s, (t + 1) * d:(t + 2) * d] = B[t]
+            K[t * d:(t + 1) * d, r0:r0 + s] = A[t].T
+            K[(t + 1) * d:(t + 2) * d, r0:r0 + s] = B[t].T
+            K[r0:r0 + s, r0:r0 + s] = -delta_c * np.eye(s)
+        sol = np.linalg.solve(
+            K, np.concatenate([rz.reshape(-1), rnu.reshape(-1)])
+        )
+        dz, nu, ok = solve_kkt(
+            jnp.asarray(H), jnp.asarray(C), jnp.asarray(A), jnp.asarray(B),
+            jnp.asarray(rz), jnp.asarray(rnu), delta_c,
+        )
+        assert bool(ok)
+        np.testing.assert_allclose(
+            np.asarray(dz), sol[: T * d].reshape(T, d), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(nu), sol[T * d:].reshape(T - 1, s), atol=1e-9
+        )
+
+    def test_singular_H_detected(self):
+        T, d, s = 3, 2, 1
+        H = jnp.zeros((T, d, d))  # singular -> cholesky NaN
+        C = jnp.zeros((T - 1, d, d))
+        A = jnp.ones((T - 1, s, d))
+        B = jnp.ones((T - 1, s, d))
+        dz, nu, ok = solve_kkt(
+            H, C, A, B, jnp.ones((T, d)), jnp.ones((T - 1, s)), 1e-8
+        )
+        assert not bool(ok)
+
+
+def _double_integrator_nlp(T=20, dt=0.1, u_bound=None, terminal_ineq=False):
+    """min sum u_t^2*dt + 50*(x_T - 1)^2 (+ v_T^2)  s.t. double-integrator
+    dynamics, x_0 = v_0 = 0.  d = (x, v, u)."""
+    d, s = 3, 2
+    m = 1 if terminal_ineq else 0
+
+    def stage_cost(z, t):
+        return 0.5 * dt * z[2] ** 2
+
+    def pair_cost(zt, ztp1, t):
+        return 0.0
+
+    def terminal_cost(zT):
+        return 50.0 * (zT[0] - 1.0) ** 2 + 10.0 * zT[1] ** 2
+
+    def defect(zt, ztp1, t):
+        return jnp.array(
+            [
+                ztp1[0] - zt[0] - zt[1] * dt,
+                ztp1[1] - zt[1] - zt[2] * dt,
+            ]
+        )
+
+    def ineq(z, t):
+        if m == 0:
+            return jnp.zeros((0,))
+        # x_T <= 0.8  (active at the optimum since unconstrained opt -> 1)
+        return jnp.where(t == T - 1, 0.8 - z[0], 1.0)[None]
+
+    lb = np.full((T, d), -np.inf)
+    ub = np.full((T, d), np.inf)
+    if u_bound is not None:
+        lb[:, 2] = -u_bound
+        ub[:, 2] = u_bound
+    free = np.ones((T, d), bool)
+    free[0, 0] = free[0, 1] = False  # x_0 = v_0 = 0 pinned
+    z0 = np.zeros((T, d))
+    return StageNLP(
+        T=T, d=d, s=s, m=m,
+        stage_cost=stage_cost, pair_cost=pair_cost,
+        terminal_cost=terminal_cost, defect=defect, ineq=ineq,
+        lb=lb, ub=ub, free_mask=free, z0=z0,
+    )
+
+
+class TestIPM:
+    def test_equality_constrained_lqr(self):
+        nlp = _double_integrator_nlp()
+        solver = InteriorPointSolver(nlp, SolverOptions(tol=1e-8))
+        res = solver.solve(jnp.asarray(nlp.z0)[None], max_iter=50)
+        assert bool(res.converged[0]), f"kkt_err={res.kkt_err}"
+        Z = np.asarray(res.Z[0])
+        # dynamics satisfied
+        for t in range(nlp.T - 1):
+            np.testing.assert_allclose(
+                Z[t + 1, 0], Z[t, 0] + Z[t, 1] * 0.1, atol=1e-7
+            )
+        # reaches near the target
+        assert abs(Z[-1, 0] - 1.0) < 0.15
+        # initial conditions pinned
+        assert Z[0, 0] == 0.0 and Z[0, 1] == 0.0
+
+    def test_control_bounds_respected(self):
+        nlp = _double_integrator_nlp(u_bound=1.0)
+        solver = InteriorPointSolver(nlp, SolverOptions(tol=1e-8))
+        res = solver.solve(jnp.asarray(nlp.z0)[None], max_iter=80)
+        assert bool(res.converged[0])
+        Z = np.asarray(res.Z[0])
+        assert np.all(np.abs(Z[:, 2]) <= 1.0 + 1e-8)
+
+    def test_terminal_inequality_active(self):
+        nlp = _double_integrator_nlp(terminal_ineq=True)
+        solver = InteriorPointSolver(nlp, SolverOptions(tol=1e-8))
+        res = solver.solve(jnp.asarray(nlp.z0)[None], max_iter=80)
+        assert bool(res.converged[0])
+        Z = np.asarray(res.Z[0])
+        # constraint x_T <= 0.8 should be active (unconstrained opt ~ 1.0)
+        assert Z[-1, 0] <= 0.8 + 1e-6
+        assert Z[-1, 0] >= 0.75
+
+    def test_batched_multistart(self):
+        nlp = _double_integrator_nlp()
+        solver = InteriorPointSolver(nlp, SolverOptions(tol=1e-8))
+        rng = np.random.default_rng(0)
+        Z0 = np.zeros((4, nlp.T, nlp.d))
+        Z0 += 0.1 * rng.normal(size=Z0.shape)
+        Z0[:, 0, :2] = 0.0
+        res = solver.solve(jnp.asarray(Z0), max_iter=60)
+        assert bool(jnp.all(res.converged))
+        # all seeds reach the same optimum (convex problem)
+        Zs = np.asarray(res.Z)
+        for b in range(1, 4):
+            np.testing.assert_allclose(Zs[b, -1, 0], Zs[0, -1, 0], atol=1e-5)
+
+    def test_callback_protocol(self):
+        nlp = _double_integrator_nlp()
+        solver = InteriorPointSolver(nlp, SolverOptions(tol=1e-8))
+        iters = []
+
+        def cb(k, state):
+            iters.append(k)
+            return False  # stop immediately
+
+        solver.solve(jnp.asarray(nlp.z0)[None], max_iter=50, callback=cb)
+        assert iters == [0]
+
+        # without early stop, the callback sees every iteration until
+        # convergence (exact-Newton on an equality QP converges fast)
+        seen = []
+        solver.solve(
+            jnp.asarray(nlp.z0)[None],
+            max_iter=50,
+            callback=lambda k, st: seen.append(k) or True,
+        )
+        assert seen == list(range(len(seen))) and 1 <= len(seen) <= 10
+
+    def test_matches_cvx_reference(self):
+        # unconstrained quadratic: compare against direct dense QP solution
+        nlp = _double_integrator_nlp(T=8)
+        solver = InteriorPointSolver(nlp, SolverOptions(tol=1e-10))
+        res = solver.solve(jnp.asarray(nlp.z0)[None], max_iter=60)
+        Z = np.asarray(res.Z[0])
+
+        # dense QP: variables u_0..u_{T-2}; states determined by rollout
+        T, dt = 8, 0.1
+        nu = T - 1
+
+        def states(u):
+            x = np.zeros(T)
+            v = np.zeros(T)
+            for t in range(T - 1):
+                x[t + 1] = x[t] + v[t] * dt
+                v[t + 1] = v[t] + u[t] * dt
+            return x, v
+
+        # numerically minimize with scipy for ground truth
+        from scipy.optimize import minimize
+
+        def cost(u):
+            x, v = states(u)
+            return 0.5 * dt * np.sum(u**2) + 50 * (x[-1] - 1) ** 2 + 10 * v[-1] ** 2
+
+        ref = minimize(cost, np.zeros(nu), method="BFGS", tol=1e-12)
+        x_ref, v_ref = states(ref.x)
+        np.testing.assert_allclose(Z[:, 0], x_ref, atol=1e-5)
+        np.testing.assert_allclose(Z[:-1, 2], ref.x, atol=1e-4)
