@@ -15,7 +15,20 @@ from .trajectory import *  # noqa: F401,F403
 from .trajectory import __all__ as _trajectory_all
 from .dynamics import *  # noqa: F401,F403
 from .dynamics import __all__ as _dynamics_all
+from .objectives import *  # noqa: F401,F403
+from .objectives import __all__ as _objectives_all
+from .solver import *  # noqa: F401,F403
+from .solver import __all__ as _solver_all
+from .problems import *  # noqa: F401,F403
+from .problems import __all__ as _problems_all
 
 __version__ = "0.1.0"
 
-__all__ = list(_quantum_all) + list(_trajectory_all) + list(_dynamics_all)
+__all__ = (
+    list(_quantum_all)
+    + list(_trajectory_all)
+    + list(_dynamics_all)
+    + list(_objectives_all)
+    + list(_solver_all)
+    + list(_problems_all)
+)

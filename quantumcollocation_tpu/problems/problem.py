@@ -1,0 +1,240 @@
+"""QuantumControlProblem: compile trajectory + objective + integrators +
+constraints into a StageNLP and solve with the batched interior-point method.
+
+This is the TPU-native analog of the reference's QuantumControlProblem /
+QuantumDynamics assembly + Ipopt registration (surface: SURVEY.md §2b,
+call sites /root/reference/src/problem_templates/unitary_smooth_pulse_problem.jl:181-190
+and field uses unitary_minimum_time_problem.jl:117-130).
+
+Lowering decisions (all preserve the block-tridiagonal KKT structure):
+- integrators -> stacked defect rows F_t(z_t, z_{t+1})
+- TimeStepsAllEqualConstraint -> extra defect rows dt_{t+1} - dt_t
+- global variables (free phases) -> appended to every knot row, pinned
+  (masked fixed) at t < T-1 and free only at the terminal knot
+- trajectory bounds -> IPM barrier bounds; initial/final pins -> fixed masks
+- inequality constraints -> per-knot rows with inactive knots masked to +1
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..objectives.constraints import (
+    AbstractConstraint,
+    FinalUnitaryFreePhaseFidelityConstraint,
+    TimeStepsAllEqualConstraint,
+)
+from ..objectives.objectives import Objective
+from ..solver.ipm import InteriorPointSolver
+from ..solver.options import PiccoloOptions, SolverOptions
+from ..solver.stage_nlp import StageNLP
+from ..trajectory.named_trajectory import NamedTrajectory
+
+__all__ = ["QuantumControlProblem"]
+
+
+class QuantumControlProblem:
+    def __init__(
+        self,
+        traj: NamedTrajectory,
+        objective: Objective,
+        integrators: Sequence,
+        *,
+        constraints: Sequence[AbstractConstraint] = (),
+        ipopt_options: SolverOptions | None = None,
+        piccolo_options: PiccoloOptions | None = None,
+        additional_objective: Objective | None = None,
+        control_name: str = "a",
+        system=None,
+    ):
+        self.trajectory = traj
+        self.integrators = list(integrators)
+        self.ipopt_options = ipopt_options or SolverOptions()
+        self.piccolo_options = piccolo_options or PiccoloOptions()
+        self.system = system
+        self.control_name = control_name
+
+        if additional_objective is not None:
+            objective = objective + additional_objective
+        self.objective = objective
+
+        # lower equal-timestep constraints into defect rows
+        self.constraints = []
+        for con in constraints:
+            if isinstance(con, TimeStepsAllEqualConstraint):
+                self.integrators.append(con.as_integrator())
+            else:
+                self.constraints.append(con)
+
+        self._compile()
+
+    # ------------------------------------------------------------------ #
+    def _compile(self):
+        traj = self.trajectory
+        T, d = traj.T, traj.dim
+
+        # global variables appended to every knot row
+        self.global_slices = {}
+        off = d
+        for gname, gval in traj.global_data.items():
+            k = int(np.prod(np.asarray(gval).shape))
+            self.global_slices[gname] = (off, off + k)
+            off += k
+        d_aug = off
+        self._d = d
+        self._d_aug = d_aug
+
+        # inject global slices into constraints that need them
+        for con in self.constraints:
+            if isinstance(con, FinalUnitaryFreePhaseFidelityConstraint):
+                con.global_slices = self.global_slices
+
+        integrators = self.integrators
+        defect_dims = [ig.defect_dim(traj) for ig in integrators]
+        s = sum(defect_dims)
+
+        ineq_cons = [c for c in self.constraints if c.ineq_dim(traj) > 0]
+        m = sum(c.ineq_dim(traj) for c in ineq_cons)
+
+        terms = self.objective.terms
+        stage_terms = [t for t in terms if t.kind == "stage"]
+        pair_terms = [t for t in terms if t.kind == "pair"]
+        term_terms = [t for t in terms if t.kind == "terminal"]
+        gslices = dict(self.global_slices)
+
+        def stage_cost(z, t):
+            total = 0.0
+            for term in stage_terms:
+                total = total + term.weight * term.fn(z, t)
+            return jnp.asarray(total, dtype=z.dtype)
+
+        def pair_cost(zt, ztp1, t):
+            total = 0.0
+            for term in pair_terms:
+                total = total + term.weight * term.fn(zt, ztp1, t)
+            return jnp.asarray(total, dtype=zt.dtype)
+
+        def terminal_cost(zT):
+            globals_dict = {
+                name: zT[gs:ge] for name, (gs, ge) in gslices.items()
+            }
+            total = 0.0
+            for term in term_terms:
+                total = total + term.weight * term.fn(zT, globals_dict)
+            return jnp.asarray(total, dtype=zT.dtype)
+
+        def defect(zt, ztp1, t):
+            rows = [ig.defect(zt, ztp1, traj) for ig in integrators]
+            return jnp.concatenate(rows)
+
+        def ineq(z, t):
+            if m == 0:
+                return jnp.zeros((0,), dtype=z.dtype)
+            rows = [c.ineq(z, t, traj) for c in ineq_cons]
+            return jnp.concatenate(rows)
+
+        # ---- bounds / pins / initial values ---- #
+        lb = np.full((T, d_aug), -np.inf)
+        ub = np.full((T, d_aug), np.inf)
+        build_pins = self.piccolo_options.build_trajectory_constraints
+        if build_pins:
+            for name, (lo, hi) in traj.bounds.items():
+                sl = traj.comp_slice(name)
+                lb[:, sl] = lo[None, :]
+                ub[:, sl] = hi[None, :]
+
+        free = np.ones((T, d_aug), dtype=bool)
+        z0 = np.zeros((T, d_aug))
+        z0[:, :d] = np.asarray(traj.data)
+
+        if build_pins:
+            for name, val in traj.initial.items():
+                sl = traj.comp_slice(name)
+                z0[0, sl] = val
+                free[0, sl] = False
+            for name, val in traj.final.items():
+                sl = traj.comp_slice(name)
+                z0[T - 1, sl] = val
+                free[T - 1, sl] = False
+
+        # globals: free only at the terminal knot
+        for gname, (gs, ge) in gslices.items():
+            free[: T - 1, gs:ge] = False
+            z0[T - 1, gs:ge] = np.asarray(traj.global_data[gname]).reshape(-1)
+
+        self.nlp = StageNLP(
+            T=T,
+            d=d_aug,
+            s=s,
+            m=m,
+            stage_cost=stage_cost,
+            pair_cost=pair_cost,
+            terminal_cost=terminal_cost,
+            defect=defect,
+            ineq=ineq,
+            lb=lb,
+            ub=ub,
+            free_mask=free,
+            z0=z0,
+        )
+        self.solver = InteriorPointSolver(
+            self.nlp,
+            self._solver_options(),
+            exact_hessian=self.piccolo_options.eval_hessian,
+        )
+        self.result = None
+
+    def _solver_options(self) -> SolverOptions:
+        return self.ipopt_options
+
+    # ------------------------------------------------------------------ #
+    def initial_decision(self, batch: int = 1):
+        """(batch, T, d_aug) initial decision tensor from the trajectory."""
+        z0 = jnp.asarray(self.nlp.z0)
+        return jnp.broadcast_to(z0[None], (batch, *z0.shape))
+
+    def write_back(self, Z_row) -> NamedTrajectory:
+        """Build a trajectory carrying the solution Z_row (T, d_aug)."""
+        traj = self.trajectory
+        data = Z_row[:, : self._d]
+        new_globals = {
+            name: Z_row[traj.T - 1, gs:ge]
+            for name, (gs, ge) in self.global_slices.items()
+        }
+        globals_dict = dict(traj.global_data)
+        globals_dict.update(new_globals)
+        return traj.with_data(data, global_data=globals_dict)
+
+    def solve(self, *, max_iter: int | None = None, callback=None):
+        """Solve and write the optimum back into `self.trajectory`.
+
+        Mirrors the reference's `solve!(prob; max_iter, callback)`
+        (README.md:115; callback protocol docs/literate/man/ipopt_callbacks.jl).
+        """
+        res = self.solver.solve(
+            self.initial_decision(1), max_iter=max_iter, callback=callback
+        )
+        self.result = res
+        self.trajectory = self.write_back(np.asarray(res.Z[0]))
+        if self.ipopt_options.print_level >= 3:
+            print(
+                f"[qct] converged={bool(res.converged[0])} "
+                f"iters={int(res.n_iter[0])} kkt_err={float(res.kkt_err[0]):.3e} "
+                f"obj={float(res.objective[0]):.6e}"
+            )
+        return self
+
+    def solve_batched(self, Z0, *, max_iter: int | None = None):
+        """Solve a batch of initial decisions (B, T, d_aug); returns IPMResult."""
+        return self.solver.solve(Z0, max_iter=max_iter)
+
+    # ---- reference API parity ---- #
+    def get_objective(self) -> Objective:
+        return self.objective
+
+    def get_constraints(self):
+        return list(self.constraints)

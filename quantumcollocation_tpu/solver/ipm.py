@@ -50,6 +50,13 @@ class IPMState(NamedTuple):
     converged: Any  # (B,) bool
     n_iter: Any  # (B,) int32
     kkt_err: Any  # (B,)
+    # telemetry (per iteration)
+    alpha: Any = 0.0  # (B,) accepted primal step size
+    e_dual: Any = 0.0  # (B,)
+    e_pr: Any = 0.0  # (B,)
+    e_comp: Any = 0.0  # (B,)
+    ls_k: Any = 0  # (B,) line-search backtracks used
+    reg_dw: Any = 0.0  # (B,) delta_w used in the accepted factorization
 
 
 class IPMResult(NamedTuple):
@@ -117,9 +124,36 @@ class InteriorPointSolver:
         w = mu0[:, None, None] / sig if nlp.m > 0 else sig
         zl = jnp.broadcast_to(has_lb, Z.shape) * 1.0
         zu = jnp.broadcast_to(has_ub, Z.shape) * 1.0
+
+        # least-squares initial multipliers (Ipopt's default dual init):
+        # solve the saddle system with H = I, C = 0 — lam_LS = nu minimizes
+        # ||grad phi - J^T lam||; discard if absurdly large.
+        def ls_lam(Zi, wi):
+            A, Bj, _ = self.funcs.jac_blocks(Zi)
+            free_c = jnp.asarray(self._free, dtype)
+            A = A * free_c[:-1, None, :]
+            Bj = Bj * free_c[1:, None, :]
+            gphi = self.funcs.grad_lagrangian(
+                Zi, jnp.zeros((nlp.T - 1, nlp.s), dtype), wi
+            ) * free_c
+            eye = jnp.broadcast_to(
+                jnp.eye(nlp.d, dtype=dtype), (nlp.T, nlp.d, nlp.d)
+            )
+            Cz = jnp.zeros((nlp.T - 1, nlp.d, nlp.d), dtype)
+            _, nu, ok = solve_kkt(
+                eye, Cz, A, Bj, gphi, jnp.zeros((nlp.T - 1, nlp.s), dtype),
+                1e-8,
+            )
+            lam = jnp.where(ok, nu, 0.0)
+            too_big = jnp.max(jnp.abs(lam)) > 1e3
+            return jnp.where(too_big, jnp.zeros_like(lam), lam)
+
+        lam0 = jax.vmap(ls_lam)(Z, w)
+
+        zeros = jnp.zeros((B,), dtype)
         return IPMState(
             Z=Z,
-            lam=jnp.zeros((B, nlp.T - 1, nlp.s), dtype),
+            lam=lam0,
             sig=sig,
             w=w,
             zl=zl,
@@ -129,6 +163,12 @@ class InteriorPointSolver:
             converged=jnp.zeros((B,), bool),
             n_iter=jnp.zeros((B,), jnp.int32),
             kkt_err=jnp.full((B,), jnp.inf, dtype),
+            alpha=zeros,
+            e_dual=zeros,
+            e_pr=zeros,
+            e_comp=zeros,
+            ls_k=jnp.zeros((B,), jnp.int32),
+            reg_dw=zeros,
         )
 
     # ------------------------------------------------------------------ #
@@ -139,7 +179,11 @@ class InteriorPointSolver:
         nlp = self.nlp
         f = self.funcs
         T, d, s, m = nlp.T, nlp.d, nlp.s, nlp.m
-        Z, lam, sig, w, zl, zu, mu, delta_w, converged, n_iter, _ = state
+        Z = state.Z
+        lam, sig, w = state.lam, state.sig, state.w
+        zl, zu = state.zl, state.zu
+        mu, delta_w = state.mu, state.delta_w
+        converged, n_iter = state.converged, state.n_iter
         dtype = Z.dtype
 
         free = jnp.asarray(self._free, dtype)
@@ -234,27 +278,41 @@ class InteriorPointSolver:
             Hreg = H + dw * eye_d[None]
             return solve_kkt(Hreg, C, A, Bj, -r_z, -F, opts.delta_c)
 
+        # Ipopt-style inertia correction schedule: ALWAYS try delta=0 first;
+        # on failure start from kappa_w^- * delta_last (or delta_0 if fresh)
+        # and escalate by kappa_w^+ = 8 each further failure.
         def cond_fn(carry):
-            k, dw, dz, nu, ok = carry
-            return (~ok) & (k < 6)
+            k, dw_try, dw_used, dz, nu, ok = carry
+            return (~ok) & (k < 12)
 
         def body_fn(carry):
-            k, dw, dz, nu, ok = carry
-            dw_try = jnp.where(
-                k == 0, dw, jnp.maximum(opts.delta_w_init, dw * 100.0)
+            k, dw_try, dw_used, dz, nu, ok = carry
+            dw_next = jnp.where(
+                k == 0,
+                0.0,
+                jnp.where(
+                    k == 1,
+                    jnp.where(
+                        delta_w > 0,
+                        jnp.maximum(opts.delta_w_min, delta_w / 3.0),
+                        1e-4,
+                    ),
+                    jnp.minimum(dw_try * 8.0, opts.delta_w_max),
+                ),
             )
-            dz2, nu2, ok2 = try_solve(dw_try)
-            return (k + 1, dw_try, dz2, nu2, ok2)
+            dz2, nu2, ok2 = try_solve(dw_next)
+            return (k + 1, dw_next, dw_next, dz2, nu2, ok2)
 
         init = (
             jnp.zeros((), jnp.int32),
-            delta_w,
+            jnp.zeros((), dtype),
+            jnp.zeros((), dtype),
             jnp.zeros_like(Z),
             jnp.zeros((T - 1, s), dtype),
             jnp.zeros((), bool),
         )
-        _, dw_used, dz, nu, ok = jax.lax.while_loop(cond_fn, body_fn, init)
-        delta_w = jnp.where(dw_used > 0, dw_used / 3.0, 0.0)
+        _, _, dw_used, dz, nu, ok = jax.lax.while_loop(cond_fn, body_fn, init)
+        delta_w = jnp.where(dw_used > 0, dw_used, delta_w)
         dz = jnp.where(ok, dz, 0.0)
         dlam = -jnp.where(ok, nu, 0.0)
 
@@ -374,6 +432,12 @@ class InteriorPointSolver:
             converged=converged | now_converged,
             n_iter=n_iter + jnp.where(upd, 1, 0).astype(jnp.int32),
             kkt_err=E0,
+            alpha=alpha,
+            e_dual=E_dual,
+            e_pr=E_pr,
+            e_comp=comp_err(0.0),
+            ls_k=k_ls,
+            reg_dw=dw_used,
         )
 
     # ------------------------------------------------------------------ #
