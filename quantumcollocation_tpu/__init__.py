@@ -21,6 +21,12 @@ from .solver import *  # noqa: F401,F403
 from .solver import __all__ as _solver_all
 from .problems import *  # noqa: F401,F403
 from .problems import __all__ as _problems_all
+from .systems import *  # noqa: F401,F403
+from .systems import __all__ as _systems_all
+from .parallel import *  # noqa: F401,F403
+from .parallel import __all__ as _parallel_all
+from .utils import *  # noqa: F401,F403
+from .utils import __all__ as _utils_all
 
 __version__ = "0.1.0"
 
@@ -31,4 +37,7 @@ __all__ = (
     + list(_objectives_all)
     + list(_solver_all)
     + list(_problems_all)
+    + list(_systems_all)
+    + list(_parallel_all)
+    + list(_utils_all)
 )

@@ -9,6 +9,7 @@ from .expm import (
 )
 from .integrators import (
     AbstractIntegrator,
+    RobustnessAccumulatorIntegrator,
     DensityOperatorExponentialIntegrator,
     DerivativeIntegrator,
     QuantumStateExponentialIntegrator,

@@ -37,6 +37,7 @@ __all__ = [
     "DensityOperatorExponentialIntegrator",
     "DerivativeIntegrator",
     "TimeStepEqualityIntegrator",
+    "RobustnessAccumulatorIntegrator",
 ]
 
 
@@ -67,8 +68,15 @@ class AbstractIntegrator:
     def add_suffix(self, suffix: str):
         """Return a copy with component names suffixed (direct-sum support)."""
         new = dataclasses.replace(self)
-        for field in ("state_name", "control_name", "x_name", "dx_name"):
-            if hasattr(new, field):
+        for field in (
+            "state_name",
+            "control_name",
+            "x_name",
+            "dx_name",
+            "accumulator_name",
+            "timestep_name",
+        ):
+            if hasattr(new, field) and getattr(new, field) is not None:
                 setattr(new, field, getattr(new, field) + suffix)
         return new
 
@@ -78,7 +86,12 @@ def _get(traj, z, name):
     return z[..., start:stop]
 
 
-def _dt(traj, z, timestep_name):
+def _dt(traj, z, timestep_name=None):
+    name = timestep_name if timestep_name is not None else (
+        traj.timestep if isinstance(traj.timestep, str) else None
+    )
+    if name is not None and name in traj.components:
+        return _get(traj, z, name)[..., 0]
     if isinstance(traj.timestep, str):
         return _get(traj, z, traj.timestep)[..., 0]
     return jnp.asarray(traj.timestep, dtype=z.dtype)
@@ -100,6 +113,7 @@ class UnitaryExponentialIntegrator(AbstractIntegrator):
     num_squarings: int | None = None
     drive_bounds: Any = None
     dt_max: float = 1.0
+    timestep_name: Any = None
 
     def __post_init__(self):
         if self.num_squarings is None:
@@ -113,7 +127,7 @@ class UnitaryExponentialIntegrator(AbstractIntegrator):
 
     def propagator(self, zt, traj):
         a = _get(traj, zt, self.control_name)
-        dt = _dt(traj, zt, None)
+        dt = _dt(traj, zt, self.timestep_name)
         G = self.system.generator(a)
         return expm_squaring(
             G * dt, order=self.order, num_squarings=self.num_squarings
@@ -142,6 +156,7 @@ class UnitaryPadeIntegrator(AbstractIntegrator):
     control_name: str
     system: QuantumSystem = None
     order: int = 4
+    timestep_name: Any = None
 
     def defect_dim(self, traj) -> int:
         return traj.comp_size(self.state_name)
@@ -152,7 +167,7 @@ class UnitaryPadeIntegrator(AbstractIntegrator):
         U_t = _get(traj, zt, self.state_name).reshape(N, 2 * N).T
         U_tp1 = _get(traj, ztp1, self.state_name).reshape(N, 2 * N).T
         a = _get(traj, zt, self.control_name)
-        dt = _dt(traj, zt, None)
+        dt = _dt(traj, zt, self.timestep_name)
         X = self.system.generator(a) * dt
         A, B = pade_numerator_denominator(X, self.order)
         resid = B @ U_tp1 - A @ U_t
@@ -170,6 +185,7 @@ class QuantumStateExponentialIntegrator(AbstractIntegrator):
     num_squarings: int | None = None
     drive_bounds: Any = None
     dt_max: float = 1.0
+    timestep_name: Any = None
 
     def __post_init__(self):
         if self.num_squarings is None:
@@ -185,7 +201,7 @@ class QuantumStateExponentialIntegrator(AbstractIntegrator):
         psi_t = _get(traj, zt, self.state_name)
         psi_tp1 = _get(traj, ztp1, self.state_name)
         a = _get(traj, zt, self.control_name)
-        dt = _dt(traj, zt, None)
+        dt = _dt(traj, zt, self.timestep_name)
         G = self.system.generator(a)
         P = expm_squaring(
             G * dt, order=self.order, num_squarings=self.num_squarings
@@ -201,6 +217,7 @@ class QuantumStatePadeIntegrator(AbstractIntegrator):
     control_name: str
     system: QuantumSystem = None
     order: int = 4
+    timestep_name: Any = None
 
     def defect_dim(self, traj) -> int:
         return traj.comp_size(self.state_name)
@@ -209,7 +226,7 @@ class QuantumStatePadeIntegrator(AbstractIntegrator):
         psi_t = _get(traj, zt, self.state_name)
         psi_tp1 = _get(traj, ztp1, self.state_name)
         a = _get(traj, zt, self.control_name)
-        dt = _dt(traj, zt, None)
+        dt = _dt(traj, zt, self.timestep_name)
         X = self.system.generator(a) * dt
         A, B = pade_numerator_denominator(X, self.order)
         return B @ psi_tp1 - A @ psi_t
@@ -224,6 +241,7 @@ class DensityOperatorExponentialIntegrator(AbstractIntegrator):
     system: OpenQuantumSystem = None
     order: int = 8
     num_squarings: int = 6
+    timestep_name: Any = None
 
     def defect_dim(self, traj) -> int:
         return traj.comp_size(self.state_name)
@@ -232,7 +250,7 @@ class DensityOperatorExponentialIntegrator(AbstractIntegrator):
         rho_t = _get(traj, zt, self.state_name)
         rho_tp1 = _get(traj, ztp1, self.state_name)
         a = _get(traj, zt, self.control_name)
-        dt = _dt(traj, zt, None)
+        dt = _dt(traj, zt, self.timestep_name)
         D = self.system.lindblad_generator(a)
         P = expm_squaring(
             D * dt, order=self.order, num_squarings=self.num_squarings
@@ -246,6 +264,7 @@ class DerivativeIntegrator(AbstractIntegrator):
 
     x_name: str
     dx_name: str
+    timestep_name: Any = None
 
     def defect_dim(self, traj) -> int:
         return traj.comp_size(self.x_name)
@@ -254,7 +273,7 @@ class DerivativeIntegrator(AbstractIntegrator):
         x_t = _get(traj, zt, self.x_name)
         x_tp1 = _get(traj, ztp1, self.x_name)
         dx_t = _get(traj, zt, self.dx_name)
-        dt = _dt(traj, zt, None)
+        dt = _dt(traj, zt, self.timestep_name)
         return x_tp1 - x_t - dx_t * dt
 
 
@@ -273,3 +292,40 @@ class TimeStepEqualityIntegrator(AbstractIntegrator):
         return _get(traj, ztp1, self.timestep_name) - _get(
             traj, zt, self.timestep_name
         )
+
+
+@dataclasses.dataclass
+class RobustnessAccumulatorIntegrator(AbstractIntegrator):
+    """Accumulator defect for first-order Magnus robustness.
+
+    Makes the nonseparable robustness cost || sum_t dt_t U_t^† H_e U_t ||_F^2
+    stage-local: extra state M with defect
+        M_{t+1} - M_t - dt_t * iso_vec(U_t^† H_e U_t) = 0,  M_0 = 0,
+    so the terminal cost ||M_T||^2 plus these rows reproduces the reference's
+    UnitaryRobustnessObjective (call site:
+    /root/reference/src/problem_templates/unitary_robustness_problem.jl:47-50)
+    while keeping the KKT system block-tridiagonal.
+    """
+
+    state_name: str = "Ũ⃗"
+    accumulator_name: str = "m_rob"
+    control_name: str = "a"
+    H_error: Any = None
+    timestep_name: Any = None
+
+    def defect_dim(self, traj) -> int:
+        return traj.comp_size(self.accumulator_name)
+
+    def defect(self, zt, ztp1, traj):
+        from ..quantum.isomorphisms import (
+            iso_vec_to_operator,
+            operator_to_iso_vec,
+        )
+
+        m_t = _get(traj, zt, self.accumulator_name)
+        m_tp1 = _get(traj, ztp1, self.accumulator_name)
+        dt = _dt(traj, zt, self.timestep_name)
+        U = iso_vec_to_operator(_get(traj, zt, self.state_name))
+        He = jnp.asarray(self.H_error, dtype=U.dtype)
+        V = operator_to_iso_vec(U.conj().T @ He @ U)
+        return m_tp1 - m_t - dt * V

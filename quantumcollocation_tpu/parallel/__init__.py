@@ -1,0 +1,5 @@
+"""Multi-device scaling: mesh construction and sharded batched solves."""
+
+from .mesh import batched_solve, make_mesh, replicate, shard_batch
+
+__all__ = ["batched_solve", "make_mesh", "replicate", "shard_batch"]

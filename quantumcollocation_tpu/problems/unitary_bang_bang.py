@@ -1,11 +1,10 @@
-"""UnitarySmoothPulseProblem — the flagship gate-synthesis template.
+"""UnitaryBangBangProblem — L1-regularized control derivative drives
+bang-bang (piecewise-constant) pulse solutions.
 
-Re-implements the reference template
-(/root/reference/src/problem_templates/unitary_smooth_pulse_problem.jl:70-201)
-as a pure-functional builder: decision variables (U_iso_vec, a, da, dda[, dt]
-[, phases]); minimize Q*infidelity + (1/2)sum(R_a a^2 + R_da da^2 +
-R_dda dda^2) subject to Padé/exponential unitary dynamics defects,
-derivative-chain defects, and box bounds.
+Re-implements /root/reference/src/problem_templates/unitary_bang_bang_problem.jl:
+one derivative level only (a, da), L1Regularizer on da with slack variables
+(R_bang_bang, default 1e-1), quadratic R_da defaults to 0 because L1 replaces
+it (:91,:144).
 """
 
 from __future__ import annotations
@@ -18,26 +17,26 @@ from ..dynamics.integrators import (
     UnitaryPadeIntegrator,
 )
 from ..objectives.objectives import (
+    L1Regularizer,
     QuadraticRegularizer,
     UnitaryFreePhaseInfidelityObjective,
     UnitaryInfidelityObjective,
 )
-from ..quantum.embedded import EmbeddedOperator, get_leakage_indices
+from ..quantum.embedded import EmbeddedOperator, get_iso_vec_leakage_indices
 from ..quantum.systems import QuantumSystem
 from ..solver.options import PiccoloOptions, SolverOptions
 from ..trajectory.initialization import initialize_unitary_trajectory
 from ._options import apply_piccolo_options
 from .problem import QuantumControlProblem
 
-__all__ = ["UnitarySmoothPulseProblem"]
+__all__ = ["UnitaryBangBangProblem"]
 
 
 def _fan_out(value, n):
-    arr = np.broadcast_to(np.asarray(value, dtype=float), (n,)).copy()
-    return arr
+    return np.broadcast_to(np.asarray(value, dtype=float), (n,)).copy()
 
 
-def UnitarySmoothPulseProblem(
+def UnitaryBangBangProblem(
     system,
     operator=None,
     T=None,
@@ -52,31 +51,21 @@ def UnitarySmoothPulseProblem(
     a_bound: float = 1.0,
     a_bounds=None,
     a_guess=None,
-    da_bound: float = np.inf,
+    da_bound: float = 1.0,
     da_bounds=None,
-    zero_initial_and_final_derivative: bool = False,
-    dda_bound: float = 1.0,
-    dda_bounds=None,
     dt_min: float | None = None,
     dt_max: float | None = None,
     Q: float = 100.0,
     R: float = 1e-2,
     R_a=None,
-    R_da=None,
-    R_dda=None,
+    R_da=0.0,
+    R_bang_bang=1e-1,
     phase_name: str = "ϕ",
     phase_operators=None,
     constraints=None,
     rng=None,
     **kwargs,
 ) -> QuantumControlProblem:
-    """Build the smooth-pulse unitary gate synthesis problem.
-
-    Accepts either (system, operator, T, dt) or the matrix-pair convenience
-    form (H_drift, H_drives, operator, T, dt) like the reference overload
-    (unitary_smooth_pulse_problem.jl:193-201).
-    """
-    # matrix-pair convenience overload
     if not isinstance(system, QuantumSystem):
         H_drift, H_drives = system, operator
         system = QuantumSystem(H_drift, list(H_drives))
@@ -90,17 +79,11 @@ def UnitarySmoothPulseProblem(
     n_drives = system.n_drives
     a_bounds = _fan_out(a_bound if a_bounds is None else a_bounds, n_drives)
     da_bounds = _fan_out(da_bound if da_bounds is None else da_bounds, n_drives)
-    dda_bounds = _fan_out(
-        dda_bound if dda_bounds is None else dda_bounds, n_drives
-    )
     dt_mean = float(np.mean(dt))
     dt_min = 0.5 * dt_mean if dt_min is None else dt_min
     dt_max = 1.5 * dt_mean if dt_max is None else dt_max
     R_a = R if R_a is None else R_a
-    R_da = R if R_da is None else R_da
-    R_dda = R if R_dda is None else R_dda
 
-    # ---- trajectory ---- #
     if init_trajectory is not None:
         traj = init_trajectory
     else:
@@ -109,13 +92,12 @@ def UnitarySmoothPulseProblem(
             T,
             dt,
             n_drives,
-            (a_bounds, da_bounds, dda_bounds),
+            (a_bounds, da_bounds),
             state_name=state_name,
             control_name=control_name,
             timestep_name=timestep_name,
             free_time=piccolo_options.free_time,
             dt_bounds=(dt_min, dt_max),
-            zero_initial_and_final_derivative=zero_initial_and_final_derivative,
             geodesic=piccolo_options.geodesic,
             bound_state=piccolo_options.bound_state,
             a_guess=a_guess,
@@ -125,43 +107,34 @@ def UnitarySmoothPulseProblem(
             rng=rng,
         )
 
-    # ---- objective ---- #
-    subspace = operator.subspace if isinstance(operator, EmbeddedOperator) else None
-    if phase_operators is None:
-        J = UnitaryInfidelityObjective(
-            state_name,
-            traj,
-            Q,
-            subspace=subspace,
-            eval_hessian=piccolo_options.eval_hessian,
-        )
-    else:
-        J = UnitaryFreePhaseInfidelityObjective(
-            state_name,
-            phase_name,
-            phase_operators,
-            traj,
-            Q,
-            subspace=subspace,
-            eval_hessian=piccolo_options.eval_hessian,
-        )
-
-    control_names = [
-        name
-        for name in traj.names
-        if name.endswith(control_name)
-    ]
-    J = J + QuadraticRegularizer(control_names[0], traj, R_a)
-    J = J + QuadraticRegularizer(control_names[1], traj, R_da)
-    J = J + QuadraticRegularizer(control_names[2], traj, R_dda)
-
-    # ---- optional piccolo constraints/objectives ---- #
-    leakage = (
-        get_leakage_indices(operator)
+    subspace = (
+        operator.subspace_indices
         if isinstance(operator, EmbeddedOperator)
         else None
     )
-    from ..quantum.embedded import get_iso_vec_leakage_indices
+    if phase_operators is None:
+        J = UnitaryInfidelityObjective(state_name, traj, Q, subspace=subspace)
+    else:
+        J = UnitaryFreePhaseInfidelityObjective(
+            state_name, phase_name, phase_operators, traj, Q,
+            subspace=subspace,
+            eval_hessian=piccolo_options.eval_hessian,
+        )
+
+    control_names = [n for n in traj.names if n.endswith(control_name)]
+    J = J + QuadraticRegularizer(control_names[0], traj, R_a)
+    # R_da defaults to 0: the L1 term below replaces quadratic smoothing
+    J = J + QuadraticRegularizer(control_names[1], traj, R_da)
+
+    R_bb = _fan_out(R_bang_bang, n_drives)
+    J_l1, traj = L1Regularizer(
+        constraints,
+        control_names[1],
+        traj,
+        R=R_bb,
+        eval_hessian=piccolo_options.eval_hessian,
+    )
+    J = J + J_l1
 
     iso_leakage = (
         get_iso_vec_leakage_indices(operator)
@@ -178,16 +151,18 @@ def UnitarySmoothPulseProblem(
         state_leakage_indices=iso_leakage,
     )
 
-    # ---- integrators ---- #
     if piccolo_options.integrator == "pade":
         unitary_integrator = UnitaryPadeIntegrator(
-            state_name, control_name, system, order=piccolo_options.pade_order,
+            state_name,
+            control_names[0],
+            system,
+            order=piccolo_options.pade_order,
             timestep_name=timestep_name,
         )
     elif piccolo_options.integrator == "exponential":
         unitary_integrator = UnitaryExponentialIntegrator(
             state_name,
-            control_name,
+            control_names[0],
             system,
             drive_bounds=a_bounds,
             dt_max=dt_max if piccolo_options.free_time else dt_mean,
@@ -199,7 +174,6 @@ def UnitarySmoothPulseProblem(
     integrators = [
         unitary_integrator,
         DerivativeIntegrator(control_names[0], control_names[1], timestep_name=timestep_name),
-        DerivativeIntegrator(control_names[1], control_names[2], timestep_name=timestep_name),
     ]
 
     return QuantumControlProblem(

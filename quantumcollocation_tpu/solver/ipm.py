@@ -366,22 +366,39 @@ class InteriorPointSolver:
 
         m0 = merit(Z, sig)
 
-        def ls_cond(carry):
-            k, alpha, accepted = carry
+        def ls_cond2(carry):
+            k, alpha, accepted, best_a, best_m = carry
             return (~accepted) & (k < opts.max_ls_iters)
 
         def ls_body(carry):
-            k, alpha, accepted = carry
+            k, alpha, accepted, best_a, best_m = carry
             a = a_pri * (0.5**k)
             mval = merit(Z + a * dz, sig + a * dsig)
             good = mval <= m0 - 1e-12 * jnp.abs(m0)
-            return (k + 1, jnp.where(good, a, alpha), accepted | good)
+            better = mval < best_m
+            return (
+                k + 1,
+                jnp.where(good, a, alpha),
+                accepted | good,
+                jnp.where(better, a, best_a),
+                jnp.minimum(mval, best_m),
+            )
 
-        k_ls, alpha, accepted = jax.lax.while_loop(
-            ls_cond, ls_body, (jnp.zeros((), jnp.int32), a_pri * 0.5**(opts.max_ls_iters - 1), jnp.zeros((), bool))
+        k_ls, alpha, accepted, best_a, best_m = jax.lax.while_loop(
+            ls_cond2,
+            ls_body,
+            (
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((), dtype),
+                jnp.zeros((), bool),
+                jnp.zeros((), dtype),
+                jnp.asarray(jnp.inf, dtype),
+            ),
         )
-        # if line search failed entirely, still take the smallest step (keeps
-        # batch moving; restoration phase analog is noise re-init upstream)
+        # if no candidate met the decrease test, fall back to the candidate
+        # with the best merit among those tried (restoration-phase analog;
+        # prevents the stall of repeatedly taking a fixed tiny step)
+        alpha = jnp.where(accepted, alpha, best_a)
         alpha = jnp.where(ok, alpha, 0.0)
 
         # ---------------- updates (frozen when converged) ---------------- #
@@ -390,6 +407,13 @@ class InteriorPointSolver:
 
         Z_new = Z + scale * alpha * dz * free
         lam_new = lam + scale * alpha * dlam
+        # dual safeguarding (the reference's recalc_y knob exists for exactly
+        # this, unitary_robustness_problem.jl:166): runaway equality
+        # multipliers poison the exact Lagrangian Hessian and stall the
+        # solver.  Rescale lam back into a trust region when it blows up.
+        lam_cap = 1e4
+        lam_norm = jnp.max(jnp.abs(lam_new), initial=1.0)
+        lam_new = lam_new * jnp.minimum(1.0, lam_cap / lam_norm)
         sig_new = sig + scale * alpha * dsig if m > 0 else sig
         w_new = w + scale * a_dual * dw_ineq if m > 0 else w
         zl_new = zl + scale * a_dual * dzl

@@ -1,0 +1,16 @@
+"""Callbacks, serialization, and observability utilities."""
+
+from .callbacks import (
+    best_rollout_fidelity_callback,
+    kkt_history_callback,
+    trajectory_history_callback,
+)
+from .serialization import load_trajectory, save_trajectory
+
+__all__ = [
+    "best_rollout_fidelity_callback",
+    "kkt_history_callback",
+    "trajectory_history_callback",
+    "load_trajectory",
+    "save_trajectory",
+]
