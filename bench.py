@@ -43,6 +43,7 @@ def main():
     parser.add_argument("--smoke", action="store_true")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--precision", type=str, default="highest")
     args = parser.parse_args()
     if args.smoke:
         args.batch, args.iters, args.repeats = 8, 30, 1
@@ -69,7 +70,9 @@ def main():
         dt,
         Q=1e4,
         R=1e-3,
-        ipopt_options=qct.SolverOptions(print_level=1, tol=1e-5),
+        ipopt_options=qct.SolverOptions(
+            print_level=1, tol=1e-5, matmul_precision=args.precision
+        ),
         piccolo_options=qct.PiccoloOptions(verbose=False),
         rng=np.random.default_rng(0),
     )
@@ -94,8 +97,15 @@ def main():
     )
 
     # warmup/compile
+    print(f"[bench] built problem, compiling...", file=sys.stderr, flush=True)
+    t_c0 = time.perf_counter()
     state = solve(Z0j)
     jax.block_until_ready(state)
+    print(
+        f"[bench] compile+first solve: {time.perf_counter() - t_c0:.1f}s",
+        file=sys.stderr,
+        flush=True,
+    )
 
     times = []
     for _ in range(args.repeats):
@@ -125,6 +135,8 @@ def main():
             goal_iso,
         )
         frac_ok = float(np.mean(1.0 - fids <= 1e-4))
+        best_infid = float(np.min(1.0 - fids))
+        med_infid = float(np.median(1.0 - fids))
         n_check = B
     except Exception:
         H_drift = np.asarray(sys_q.H_drift)
@@ -154,7 +166,10 @@ def main():
                     "ipm_iters": args.iters,
                     "wall_s": round(wall, 3),
                     "converged_frac": frac_ok,
+                    "best_infid": locals().get("best_infid"),
+                    "median_infid": locals().get("med_infid"),
                     "backend": jax.default_backend(),
+                    "precision": args.precision,
                     "kkt_iters_per_s": round(args.iters * B / wall, 1),
                 },
             }

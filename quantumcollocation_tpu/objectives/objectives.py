@@ -178,11 +178,14 @@ def DensityOperatorPureStateInfidelityObjective(name, psi_goal, *, Q=100.0, traj
     """Q * (1 - <psi|rho_T|psi>) (reference: density_operator_smooth_pulse_problem.jl:55)."""
     assert traj is not None, "traj required to resolve component slices"
     start, stop = _slice(traj, name)
-    psi = jnp.asarray(np.asarray(psi_goal, dtype=complex))
+    # host-side numpy: becomes a traced constant inside fn (no eager complex
+    # h2d transfer, which some TPU runtimes lack)
+    psi = np.asarray(psi_goal, dtype=complex)
 
     def fn(zT, globals_dict):
         rho = iso_vec_to_density(zT[start:stop])
-        return 1.0 - jnp.real(psi.conj() @ rho @ psi)
+        p = jnp.asarray(psi, dtype=rho.dtype)
+        return 1.0 - jnp.real(p.conj() @ rho @ p)
 
     return Objective(
         (ObjectiveTerm("terminal", fn, float(Q), f"density_infidelity[{name}]"),)

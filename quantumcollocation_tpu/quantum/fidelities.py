@@ -67,14 +67,21 @@ def iso_vec_unitary_fidelity(U_iso_vec, U_goal_iso_vec, subspace=None):
 
 
 def free_phase_rotation(phases, phase_operators):
-    """R(phi) = prod_k exp(i phi_k G_k) as a complex matrix."""
-    ops = jnp.asarray(
-        np.stack([np.asarray(op) for op in phase_operators])
-        if isinstance(phase_operators, (list, tuple))
-        else phase_operators
+    """R(phi) = exp(i sum_k phi_k G_k) as a complex matrix.
+
+    Real and imaginary parts are transferred separately so no complex
+    host<->device copies occur (some TPU runtimes only support real
+    transfers; complex arithmetic on device is fine).
+    """
+    ops = np.stack(
+        [np.asarray(op) for op in phase_operators]
+    ) if isinstance(phase_operators, (list, tuple)) else np.asarray(
+        phase_operators
     )
-    gen = jnp.tensordot(jnp.asarray(phases).astype(ops.dtype), ops, axes=1)
-    return _expm(1j * gen)
+    phases = jnp.asarray(phases)
+    gen_re = jnp.tensordot(phases, jnp.asarray(ops.real, phases.dtype), axes=1)
+    gen_im = jnp.tensordot(phases, jnp.asarray(ops.imag, phases.dtype), axes=1)
+    return _expm(1j * gen_re - gen_im)
 
 
 def iso_vec_unitary_free_phase_fidelity(

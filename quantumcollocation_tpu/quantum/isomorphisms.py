@@ -18,7 +18,9 @@ d/dt psi_iso = G(H) psi_iso with G(H) = [[Im H, Re H], [-Re H, Im H]].
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "ket_to_iso",
@@ -37,44 +39,63 @@ __all__ = [
 ]
 
 
+def _xp(*arrays):
+    """numpy for host (numpy/python) inputs, jnp for traced/device inputs.
+
+    Build-time calls with numpy data stay on host (avoiding complex
+    host<->device transfers that some TPU runtimes lack); traced calls use
+    jnp as usual.
+    """
+    for a in arrays:
+        if isinstance(a, (jax.Array, jax.core.Tracer)):
+            return jnp
+    return np
+
+
 def ket_to_iso(psi):
     """Complex ket (N,) -> real iso vector (2N,) = [Re; Im]."""
-    psi = jnp.asarray(psi)
-    return jnp.concatenate([psi.real, psi.imag], axis=-1)
+    xp = _xp(psi)
+    psi = xp.asarray(psi)
+    return xp.concatenate([psi.real, psi.imag], axis=-1)
 
 
 def iso_to_ket(psi_iso):
     """Real iso vector (2N,) -> complex ket (N,)."""
-    psi_iso = jnp.asarray(psi_iso)
+    xp = _xp(psi_iso)
+    psi_iso = xp.asarray(psi_iso)
     n = psi_iso.shape[-1] // 2
     return psi_iso[..., :n] + 1j * psi_iso[..., n:]
 
 
 def operator_to_iso_operator(U):
     """Complex (N, N) operator -> real (2N, N) iso operator [Re(U); Im(U)]."""
-    U = jnp.asarray(U)
-    return jnp.concatenate([U.real, U.imag], axis=-2)
+    xp = _xp(U)
+    U = xp.asarray(U)
+    return xp.concatenate([U.real, U.imag], axis=-2)
 
 
 def iso_operator_to_operator(U_iso):
     """Real (2N, N) iso operator -> complex (N, N) operator."""
-    U_iso = jnp.asarray(U_iso)
+    xp = _xp(U_iso)
+    U_iso = xp.asarray(U_iso)
     n = U_iso.shape[-2] // 2
     return U_iso[..., :n, :] + 1j * U_iso[..., n:, :]
 
 
 def iso_operator_to_iso_vec(U_iso):
     """Real (2N, N) iso operator -> flat (2N*N,) iso vec (column-major stack)."""
-    U_iso = jnp.asarray(U_iso)
-    return jnp.swapaxes(U_iso, -1, -2).reshape(*U_iso.shape[:-2], -1)
+    xp = _xp(U_iso)
+    U_iso = xp.asarray(U_iso)
+    return xp.swapaxes(U_iso, -1, -2).reshape(*U_iso.shape[:-2], -1)
 
 
 def iso_vec_to_iso_operator(v):
     """Flat (2N*N,) iso vec -> real (2N, N) iso operator."""
-    v = jnp.asarray(v)
+    xp = _xp(v)
+    v = xp.asarray(v)
     twoN2 = v.shape[-1]
     n = int(round((twoN2 / 2) ** 0.5))
-    return jnp.swapaxes(v.reshape(*v.shape[:-1], n, 2 * n), -1, -2)
+    return xp.swapaxes(v.reshape(*v.shape[:-1], n, 2 * n), -1, -2)
 
 
 def operator_to_iso_vec(U):
@@ -97,18 +118,20 @@ def density_to_iso_vec(rho):
     Uses column-major vectorization so that superoperator actions are
     vec(A rho B) = kron(B.T, A) @ vec(rho).
     """
-    rho = jnp.asarray(rho)
-    vec = jnp.swapaxes(rho, -1, -2).reshape(*rho.shape[:-2], -1)
-    return jnp.concatenate([vec.real, vec.imag], axis=-1)
+    xp = _xp(rho)
+    rho = xp.asarray(rho)
+    vec = xp.swapaxes(rho, -1, -2).reshape(*rho.shape[:-2], -1)
+    return xp.concatenate([vec.real, vec.imag], axis=-1)
 
 
 def iso_vec_to_density(v):
     """Real iso vec (2N^2,) -> complex density matrix (N, N)."""
-    v = jnp.asarray(v)
+    xp = _xp(v)
+    v = xp.asarray(v)
     n2 = v.shape[-1] // 2
     n = int(round(n2**0.5))
     vec = v[..., :n2] + 1j * v[..., n2:]
-    return jnp.swapaxes(vec.reshape(*vec.shape[:-1], n, n), -1, -2)
+    return xp.swapaxes(vec.reshape(*vec.shape[:-1], n, n), -1, -2)
 
 
 def iso_G(H):
@@ -118,11 +141,12 @@ def iso_G(H):
     (-i H psi) maps to G(H) @ psi_iso.  Unitary iso operators evolve as
     U_iso' = G(H) @ U_iso.
     """
-    H = jnp.asarray(H)
+    xp = _xp(H)
+    H = xp.asarray(H)
     A, B = H.real, H.imag
-    top = jnp.concatenate([B, A], axis=-1)
-    bot = jnp.concatenate([-A, B], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
+    top = xp.concatenate([B, A], axis=-1)
+    bot = xp.concatenate([-A, B], axis=-1)
+    return xp.concatenate([top, bot], axis=-2)
 
 
 def mat_to_iso(M):
@@ -131,11 +155,12 @@ def mat_to_iso(M):
     This is the isomorphism for complex-linear action on [Re; Im] stacked
     vectors: (M v) maps to mat_to_iso(M) @ [Re v; Im v].
     """
-    M = jnp.asarray(M)
+    xp = _xp(M)
+    M = xp.asarray(M)
     A, B = M.real, M.imag
-    top = jnp.concatenate([A, -B], axis=-1)
-    bot = jnp.concatenate([B, A], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
+    top = xp.concatenate([A, -B], axis=-1)
+    bot = xp.concatenate([B, A], axis=-1)
+    return xp.concatenate([top, bot], axis=-2)
 
 
 def iso_D(H, dissipators):
@@ -145,16 +170,17 @@ def iso_D(H, dissipators):
     `density_to_iso_vec` (column-major vec, [Re; Im] stacking), where
     L(rho) = -i[H, rho] + sum_k (L rho L^† - 1/2 {L^†L, rho}).
     """
-    H = jnp.asarray(H)
+    xp = _xp(H, *dissipators)
+    H = xp.asarray(H)
     n = H.shape[-1]
-    eye = jnp.eye(n, dtype=H.dtype)
-    S = -1j * (jnp.kron(eye, H) - jnp.kron(H.T, eye))
+    eye = xp.eye(n, dtype=H.dtype)
+    S = -1j * (xp.kron(eye, H) - xp.kron(H.T, eye))
     for L in dissipators:
-        L = jnp.asarray(L)
+        L = xp.asarray(L)
         LdL = L.conj().T @ L
         S = S + (
-            jnp.kron(L.conj(), L)
-            - 0.5 * jnp.kron(eye, LdL)
-            - 0.5 * jnp.kron(LdL.T, eye)
+            xp.kron(L.conj(), L)
+            - 0.5 * xp.kron(eye, LdL)
+            - 0.5 * xp.kron(LdL.T, eye)
         )
     return mat_to_iso(S)

@@ -6,6 +6,13 @@ cats.jl:47-52, README.md:110).  Each system stores *stacked* drive Hamiltonians
 and their real iso generators so that H(a) = H_drift + sum_j a_j H_drives[j]
 is a single tensor contraction — MXU friendly and vmappable over control
 batches.
+
+Device-residency design: ONLY the real iso generators (G_*, D_*) are device
+arrays / pytree leaves — the entire collocation compute path runs on the real
+isomorphism.  The complex Hamiltonians and dissipators are host-side numpy
+(carried through flatten/unflatten as bytes) because complex h2d/d2h
+transfers are not supported on all TPU runtimes and are never needed on
+device.
 """
 
 from __future__ import annotations
@@ -29,14 +36,28 @@ __all__ = [
 
 
 def _stack_drives(H_drives, levels):
-    if H_drives is None or (isinstance(H_drives, (list, tuple)) and len(H_drives) == 0):
-        return jnp.zeros((0, levels, levels), dtype=jnp.complex64 if not jax.config.jax_enable_x64 else jnp.complex128)
+    if H_drives is None or (
+        isinstance(H_drives, (list, tuple)) and len(H_drives) == 0
+    ):
+        return np.zeros((0, levels, levels), dtype=np.complex128)
     if isinstance(H_drives, (list, tuple)):
-        return jnp.stack([jnp.asarray(H, dtype=complex) for H in H_drives])
-    H_drives = jnp.asarray(H_drives, dtype=complex)
+        return np.stack(
+            [np.asarray(H, dtype=np.complex128) for H in H_drives]
+        )
+    H_drives = np.asarray(H_drives, dtype=np.complex128)
     if H_drives.ndim == 2:
         H_drives = H_drives[None]
     return H_drives
+
+
+def _to_bytes(arr: np.ndarray):
+    arr = np.ascontiguousarray(arr)
+    return (arr.tobytes(), arr.shape, str(arr.dtype))
+
+
+def _from_bytes(blob):
+    data, shape, dtype = blob
+    return np.frombuffer(data, dtype=np.dtype(dtype)).reshape(shape).copy()
 
 
 @jax.tree_util.register_pytree_node_class
@@ -45,10 +66,10 @@ class QuantumSystem:
     """Closed quantum system: H(a) = H_drift + sum_j a_j H_drives[j].
 
     Fields (mirroring the reference API surface):
-      - H_drift: (N, N) complex
-      - H_drives: (n_drives, N, N) complex, stacked
-      - G_drift: (2N, 2N) real iso generator of -i H_drift
-      - G_drives: (n_drives, 2N, 2N) real iso generators
+      - H_drift: (N, N) complex numpy (host)
+      - H_drives: (n_drives, N, N) complex numpy (host), stacked
+      - G_drift: (2N, 2N) real device array — iso generator of -i H_drift
+      - G_drives: (n_drives, 2N, 2N) real device arrays
       - n_drives, levels: static ints
       - params: static metadata dict
     """
@@ -69,58 +90,73 @@ class QuantumSystem:
         if H_drift is None:
             if H_drives is None:
                 raise ValueError("need at least one of H_drift / H_drives")
-            first = H_drives[0] if isinstance(H_drives, (list, tuple)) else H_drives
+            first = (
+                H_drives[0]
+                if isinstance(H_drives, (list, tuple))
+                else H_drives
+            )
             n = np.asarray(first).shape[-1]
-            H_drift = jnp.zeros((n, n), dtype=complex)
-        H_drift = jnp.asarray(H_drift, dtype=complex)
+            H_drift = np.zeros((n, n), dtype=np.complex128)
+        H_drift = np.asarray(H_drift, dtype=np.complex128)
         levels = H_drift.shape[-1]
         H_drives = _stack_drives(H_drives, levels)
         object.__setattr__(self, "H_drift", H_drift)
         object.__setattr__(self, "H_drives", H_drives)
-        object.__setattr__(self, "G_drift", iso_G(H_drift))
-        object.__setattr__(
-            self,
-            "G_drives",
-            jax.vmap(iso_G)(H_drives)
-            if H_drives.shape[0] > 0
-            else jnp.zeros((0, 2 * levels, 2 * levels)),
-        )
+        object.__setattr__(self, "G_drift", jnp.asarray(np.asarray(iso_G(H_drift))))
+        if H_drives.shape[0] > 0:
+            G_dr = np.stack([np.asarray(iso_G(H)) for H in H_drives])
+        else:
+            G_dr = np.zeros((0, 2 * levels, 2 * levels))
+        object.__setattr__(self, "G_drives", jnp.asarray(G_dr))
         object.__setattr__(self, "n_drives", int(H_drives.shape[0]))
         object.__setattr__(self, "levels", int(levels))
         object.__setattr__(self, "params", dict(params) if params else {})
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
-        children = (self.H_drift, self.H_drives, self.G_drift, self.G_drives)
-        aux = (self.n_drives, self.levels, tuple(sorted(self.params.items(), key=lambda kv: str(kv[0]))))
+        children = (self.G_drift, self.G_drives)
+        aux = (
+            self.n_drives,
+            self.levels,
+            tuple(
+                sorted(self.params.items(), key=lambda kv: str(kv[0]))
+            ),
+            _to_bytes(self.H_drift),
+            _to_bytes(self.H_drives),
+        )
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
-        object.__setattr__(obj, "H_drift", children[0])
-        object.__setattr__(obj, "H_drives", children[1])
-        object.__setattr__(obj, "G_drift", children[2])
-        object.__setattr__(obj, "G_drives", children[3])
+        object.__setattr__(obj, "G_drift", children[0])
+        object.__setattr__(obj, "G_drives", children[1])
         object.__setattr__(obj, "n_drives", aux[0])
         object.__setattr__(obj, "levels", aux[1])
         object.__setattr__(obj, "params", dict(aux[2]))
+        object.__setattr__(obj, "H_drift", _from_bytes(aux[3]))
+        object.__setattr__(obj, "H_drives", _from_bytes(aux[4]))
         return obj
 
     # -- physics -----------------------------------------------------------
     def hamiltonian(self, a):
-        """H(a) = H_drift + sum_j a_j H_drives[j]."""
-        a = jnp.asarray(a)
+        """H(a) = H_drift + sum_j a_j H_drives[j] (host-side complex)."""
+        a = np.asarray(a)
         if self.n_drives == 0:
             return self.H_drift
-        return self.H_drift + jnp.tensordot(a.astype(self.H_drives.dtype), self.H_drives, axes=1)
+        return self.H_drift + np.tensordot(
+            a.astype(self.H_drives.dtype), self.H_drives, axes=1
+        )
 
     def generator(self, a):
-        """Real iso generator G(a) = G_drift + sum_j a_j G_drives[j]."""
+        """Real iso generator G(a) = G_drift + sum_j a_j G_drives[j]
+        (device path; traceable)."""
         a = jnp.asarray(a)
         if self.n_drives == 0:
             return self.G_drift
-        return self.G_drift + jnp.tensordot(a.astype(self.G_drives.dtype), self.G_drives, axes=1)
+        return self.G_drift + jnp.tensordot(
+            a.astype(self.G_drives.dtype), self.G_drives, axes=1
+        )
 
     @property
     def iso_dim(self) -> int:
@@ -132,11 +168,12 @@ class QuantumSystem:
 class OpenQuantumSystem(QuantumSystem):
     """Open (Lindblad) quantum system with dissipators.
 
-    Adds stacked dissipators and precomputed real iso Lindblad superoperators:
-      - L_dissipators: (k, N, N) complex
-      - D_drift: (2N^2, 2N^2) real — iso superoperator of
+    Adds host-side stacked dissipators and device real iso Lindblad
+    superoperators:
+      - L_dissipators: (k, N, N) complex numpy (host)
+      - D_drift: (2N^2, 2N^2) real device — iso superoperator of
         -i[H_drift, .] + dissipators
-      - D_drives: (n_drives, 2N^2, 2N^2) real — iso superoperators of
+      - D_drives: (n_drives, 2N^2, 2N^2) real device — iso superoperators of
         -i[H_j, .]
     Mirrors the OpenQuantumSystem surface used at
     /root/reference/src/quantum_system_templates/cats.jl:47-52.
@@ -148,47 +185,52 @@ class OpenQuantumSystem(QuantumSystem):
 
     def __init__(self, H_drift=None, H_drives=None, L_dissipators=None, *, params=None):
         super().__init__(H_drift, H_drives, params=params)
-        Ls = L_dissipators or []
+        Ls = L_dissipators if L_dissipators is not None else []
         if isinstance(Ls, (list, tuple)):
             Ls = (
-                jnp.stack([jnp.asarray(L, dtype=complex) for L in Ls])
+                np.stack([np.asarray(L, dtype=np.complex128) for L in Ls])
                 if len(Ls)
-                else jnp.zeros((0, self.levels, self.levels), dtype=complex)
+                else np.zeros((0, self.levels, self.levels), dtype=np.complex128)
             )
+        else:
+            Ls = np.asarray(Ls, dtype=np.complex128)
         object.__setattr__(self, "L_dissipators", Ls)
-        object.__setattr__(self, "D_drift", iso_D(self.H_drift, list(Ls)))
+        object.__setattr__(
+            self, "D_drift", jnp.asarray(np.asarray(iso_D(self.H_drift, list(Ls))))
+        )
         if self.n_drives:
-            object.__setattr__(
-                self,
-                "D_drives",
-                jnp.stack([iso_D(Hj, []) for Hj in self.H_drives]),
+            D_dr = np.stack(
+                [np.asarray(iso_D(Hj, [])) for Hj in self.H_drives]
             )
         else:
             n2 = 2 * self.levels**2
-            object.__setattr__(self, "D_drives", jnp.zeros((0, n2, n2)))
+            D_dr = np.zeros((0, n2, n2))
+        object.__setattr__(self, "D_drives", jnp.asarray(D_dr))
 
     def tree_flatten(self):
-        children = (
-            self.H_drift,
-            self.H_drives,
-            self.G_drift,
-            self.G_drives,
-            self.L_dissipators,
-            self.D_drift,
-            self.D_drives,
+        children = (self.G_drift, self.G_drives, self.D_drift, self.D_drives)
+        aux = (
+            self.n_drives,
+            self.levels,
+            tuple(sorted(self.params.items(), key=lambda kv: str(kv[0]))),
+            _to_bytes(self.H_drift),
+            _to_bytes(self.H_drives),
+            _to_bytes(self.L_dissipators),
         )
-        aux = (self.n_drives, self.levels, tuple(sorted(self.params.items(), key=lambda kv: str(kv[0]))))
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
-        names = ("H_drift", "H_drives", "G_drift", "G_drives", "L_dissipators", "D_drift", "D_drives")
+        names = ("G_drift", "G_drives", "D_drift", "D_drives")
         for name, child in zip(names, children):
             object.__setattr__(obj, name, child)
         object.__setattr__(obj, "n_drives", aux[0])
         object.__setattr__(obj, "levels", aux[1])
         object.__setattr__(obj, "params", dict(aux[2]))
+        object.__setattr__(obj, "H_drift", _from_bytes(aux[3]))
+        object.__setattr__(obj, "H_drives", _from_bytes(aux[4]))
+        object.__setattr__(obj, "L_dissipators", _from_bytes(aux[5]))
         return obj
 
     def lindblad_generator(self, a):
@@ -196,7 +238,9 @@ class OpenQuantumSystem(QuantumSystem):
         a = jnp.asarray(a)
         if self.n_drives == 0:
             return self.D_drift
-        return self.D_drift + jnp.tensordot(a.astype(self.D_drives.dtype), self.D_drives, axes=1)
+        return self.D_drift + jnp.tensordot(
+            a.astype(self.D_drives.dtype), self.D_drives, axes=1
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -223,6 +267,9 @@ class CompositeQuantumSystem(QuantumSystem):
     H_drift = sum_i lift(H_drift_i) + sum_c coupling.op ; drives are the
     lifted drives of each subsystem in order.  Mirrors
     /root/reference/src/quantum_system_templates/transmons.jl:198-242.
+
+    The `subsystems`/`couplings` attributes are build-time conveniences and
+    are not preserved through jit flatten/unflatten round trips.
     """
 
     def __init__(self, subsystems: Sequence[QuantumSystem], couplings: Sequence[QuantumSystemCoupling] = (), *, params=None):

@@ -148,7 +148,8 @@ class InteriorPointSolver:
             too_big = jnp.max(jnp.abs(lam)) > 1e3
             return jnp.where(too_big, jnp.zeros_like(lam), lam)
 
-        lam0 = jax.vmap(ls_lam)(Z, w)
+        with jax.default_matmul_precision(self.options.matmul_precision):
+            lam0 = jax.vmap(ls_lam)(Z, w)
 
         zeros = jnp.zeros((B,), dtype)
         return IPMState(
@@ -198,9 +199,8 @@ class InteriorPointSolver:
         # ---------------- residuals & KKT error ---------------- #
         F = f.defects(Z)  # (T-1, s)
         g = f.ineqs(Z)  # (T, m)
-        r_dual = (
-            f.grad_lagrangian(Z, lam, w) - has_lb * zl + has_ub * zu
-        ) * free
+        gL = f.grad_lagrangian(Z, lam, w)  # grad phi - J_F^T lam - J_g^T w
+        r_dual = (gL - has_lb * zl + has_ub * zu) * free
 
         n_duals = (T - 1) * s + T * m + int(self._has_lb.sum() + self._has_ub.sum())
         dual_sum = (
@@ -260,13 +260,16 @@ class InteriorPointSolver:
         A = A * Mf[:-1, None, :]
         Bj = Bj * Mf[1:, None, :]
 
-        # condensed rhs
+        # condensed rhs — derived from gL without a second reverse-AD pass:
+        # grad_lagrangian(Z, lam, w_hat) = gL - J_g^T (w_hat - w)
         if m > 0:
             w_hat = mu / sig - (w / sig) * (g - sig)
+            jg_term = jnp.einsum("tmi,tm->ti", Jg, w_hat - w)
         else:
-            w_hat = w
+            jg_term = 0.0
         r_z = (
-            f.grad_lagrangian(Z, lam, w_hat)
+            gL
+            - jg_term
             - jnp.where(has_lb > 0, mu / sl, 0.0)
             + jnp.where(has_ub > 0, mu / su, 0.0)
         ) * free
@@ -470,7 +473,10 @@ class InteriorPointSolver:
     @partial(jax.jit, static_argnums=(0,))
     def step(self, state: IPMState) -> IPMState:
         """One batched IPM iteration (vmapped single-instance Newton steps)."""
-        return jax.vmap(self._iteration)(state)
+        # full f32 matmul precision: TPU default (bf16 passes) is not enough
+        # for the condensed KKT arithmetic
+        with jax.default_matmul_precision(self.options.matmul_precision):
+            return jax.vmap(self._iteration)(state)
 
     def solve(self, Z0, *, max_iter=None, callback=None) -> IPMResult:
         """Run the IPM to convergence or max_iter.
@@ -516,5 +522,8 @@ class InteriorPointSolver:
             k, st = carry
             return (k + 1, jax.vmap(self._iteration)(st))
 
-        _, final = jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), state))
+        with jax.default_matmul_precision(self.options.matmul_precision):
+            _, final = jax.lax.while_loop(
+                cond, body, (jnp.zeros((), jnp.int32), state)
+            )
         return final

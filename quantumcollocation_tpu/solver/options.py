@@ -41,6 +41,10 @@ class SolverOptions:
     recalc_y_feas_tol: float = 1e-6
     # numerical type: None -> follow input dtype
     dtype: str | None = None
+    # TPU matmul precision for solver arithmetic: "highest" (6-pass bf16,
+    # full f32 accuracy), "high" (3-pass), or "default" (fast, bf16-ish —
+    # insufficient for tight KKT tolerances)
+    matmul_precision: str = "highest"
 
     def replace(self, **kwargs):
         return dataclasses.replace(self, **kwargs)
