@@ -180,6 +180,7 @@ class QuantumControlProblem:
             ub=ub,
             free_mask=free,
             z0=z0,
+            nl_coords=self._nonlinear_defect_coords(),
         )
         self.solver = InteriorPointSolver(
             self.nlp,
@@ -190,6 +191,51 @@ class QuantumControlProblem:
 
     def _solver_options(self) -> SolverOptions:
         return self.ipopt_options
+
+    def _nonlinear_defect_coords(self):
+        """Knot-row coordinate indices where defects are nonlinear.
+
+        Exp/Padé defects are nonlinear only in (controls, timestep);
+        derivative-chain defects bilinear in (dx, timestep); the robustness
+        accumulator quadratic in the unitary state.  Unknown integrator types
+        disable the structured-Hessian path (returns None -> dense fallback).
+        """
+        from ..dynamics import integrators as igs
+
+        traj = self.trajectory
+        tname = traj.timestep if isinstance(traj.timestep, str) else None
+        idx = set()
+
+        def add(name):
+            if name is not None and name in traj.components:
+                start, stop = traj.components[name]
+                idx.update(range(start, stop))
+
+        for ig in self.integrators:
+            ig_t = getattr(ig, "timestep_name", None) or tname
+            if isinstance(
+                ig,
+                (
+                    igs.UnitaryExponentialIntegrator,
+                    igs.UnitaryPadeIntegrator,
+                    igs.QuantumStateExponentialIntegrator,
+                    igs.QuantumStatePadeIntegrator,
+                    igs.DensityOperatorExponentialIntegrator,
+                ),
+            ):
+                add(ig.control_name)
+                add(ig_t)
+            elif isinstance(ig, igs.DerivativeIntegrator):
+                add(ig.dx_name)
+                add(ig_t)
+            elif isinstance(ig, igs.RobustnessAccumulatorIntegrator):
+                add(ig.state_name)
+                add(ig_t)
+            elif isinstance(ig, igs.TimeStepEqualityIntegrator):
+                continue  # linear
+            else:
+                return None  # unknown integrator: dense Hessian fallback
+        return tuple(sorted(idx))
 
     # ------------------------------------------------------------------ #
     def initial_decision(self, batch: int = 1):
@@ -231,6 +277,107 @@ class QuantumControlProblem:
     def solve_batched(self, Z0, *, max_iter: int | None = None):
         """Solve a batch of initial decisions (B, T, d_aug); returns IPMResult."""
         return self.solver.solve(Z0, max_iter=max_iter)
+
+    def multistart_initial_decisions(
+        self, n_seeds: int, *, sigma: float = 0.1, rng=None
+    ):
+        """(n_seeds, T, d_aug) initial decisions with DIVERSE, dynamics-
+        consistent seeds: per seed, the base controls are perturbed, the
+        derivative chain recomputed, and every dynamics state component
+        ROLLED OUT under the perturbed controls.  Seeds therefore start
+        feasible (zero defects) in different basins — perturbing controls
+        alone while sharing the geodesic state path collapses all seeds into
+        one basin during feasibility restoration.
+        """
+        from ..dynamics import integrators as igs
+        from ..dynamics.rollouts import open_rollout, rollout, unitary_rollout
+        from ..trajectory.named_trajectory import derivative as _derivative
+
+        rng = rng or np.random.default_rng(0)
+        traj = self.trajectory
+        T = traj.T
+        z0 = np.asarray(self.initial_decision(1))[0]
+        dts = np.asarray(traj.get_timesteps(), dtype=np.float64)
+        rows = []
+        for seed in range(n_seeds):
+            row = z0.copy()
+            a_sl = traj.comp_slice(self.control_name)
+            a = np.array(row[:, a_sl], dtype=np.float64)
+            if seed > 0:  # keep one clean seed
+                a[1:-1] += sigma * rng.standard_normal(a[1:-1].shape)
+                if self.control_name in traj.bounds:
+                    lo, hi = traj.bounds[self.control_name]
+                    a = np.clip(a, lo[None, :], hi[None, :])
+            row[:, a_sl] = a
+
+            # derivative chains (x -> dx defects)
+            for ig in self.integrators:
+                if isinstance(ig, igs.DerivativeIntegrator):
+                    x_sl = traj.comp_slice(ig.x_name)
+                    dx_sl = traj.comp_slice(ig.dx_name)
+                    row[:, dx_sl] = np.asarray(
+                        _derivative(row[:, x_sl], dts)
+                    )
+
+            # dynamics states rolled out under the perturbed controls
+            for ig in self.integrators:
+                if isinstance(
+                    ig,
+                    (igs.UnitaryExponentialIntegrator, igs.UnitaryPadeIntegrator),
+                ):
+                    s_sl = traj.comp_slice(ig.state_name)
+                    v0 = row[0, s_sl]
+                    row[:, s_sl] = np.asarray(
+                        unitary_rollout(v0, a, dts, ig.system)
+                    )
+                elif isinstance(
+                    ig,
+                    (
+                        igs.QuantumStateExponentialIntegrator,
+                        igs.QuantumStatePadeIntegrator,
+                    ),
+                ):
+                    s_sl = traj.comp_slice(ig.state_name)
+                    row[:, s_sl] = np.asarray(
+                        rollout(row[0, s_sl], a, dts, ig.system)
+                    )
+                elif isinstance(ig, igs.DensityOperatorExponentialIntegrator):
+                    s_sl = traj.comp_slice(ig.state_name)
+                    row[:, s_sl] = np.asarray(
+                        open_rollout(row[0, s_sl], a, dts, ig.system)
+                    )
+            rows.append(row)
+        return np.stack(rows)
+
+    def solve_multistart(
+        self,
+        n_seeds: int = 8,
+        *,
+        sigma: float = 0.1,
+        rng=None,
+        max_iter: int | None = None,
+    ):
+        """Batched multi-start solve: diverse rollout-consistent seeds
+        advance in lockstep; the best (lowest objective) is kept.
+
+        This is the TPU-native answer to nonconvexity — a batch of seeds
+        costs barely more than one solve on accelerator hardware.
+        """
+        Z0 = self.multistart_initial_decisions(n_seeds, sigma=sigma, rng=rng)
+        res = self.solver.solve(jnp.asarray(Z0), max_iter=max_iter)
+        self.result = res
+        # prefer converged seeds; break ties by objective
+        obj = np.asarray(res.objective)
+        conv = np.asarray(res.converged)
+        score = np.where(conv, obj, obj + 1e10)
+        best = int(np.argmin(score))
+        self.trajectory = self.write_back(np.asarray(res.Z[best]))
+        if self.ipopt_options.print_level >= 3:
+            print(
+                f"[qct] multistart best seed {best}: converged={bool(conv[best])} "
+                f"obj={float(obj[best]):.6e} ({int(conv.sum())}/{n_seeds} converged)"
+            )
+        return self
 
     # ---- reference API parity ---- #
     def get_objective(self) -> Objective:

@@ -62,6 +62,11 @@ class StageNLP:
     ub: Any
     free_mask: Any
     z0: Any
+    # indices (into a knot row z_t) where defects are NONLINEAR; everything
+    # else enters F linearly.  When provided, the expensive defect-curvature
+    # Hessian is computed with forward passes over only these coordinates
+    # (controls + timestep for exp/Padé defects) instead of all 2d.
+    nl_coords: Any = None
 
 
 @dataclasses.dataclass
@@ -116,8 +121,45 @@ def make_nlp_functions(nlp: StageNLP, *, exact_hessian: bool = True) -> NLPFunct
         return val
 
     stage_hess = jax.vmap(jax.hessian(_stage_lag, argnums=0))
-    pair_hess = jax.vmap(jax.hessian(_pair_lag, argnums=0))
     term_hess = jax.hessian(nlp.terminal_cost)
+
+    nl = (
+        np.asarray(nlp.nl_coords, dtype=np.int32)
+        if nlp.nl_coords is not None
+        else None
+    )
+    if nl is not None and 0 < len(nl) < d:
+        # structured pair Hessian: defects are linear in all coords except
+        # nl (and always linear in z_{t+1}), so the lam^T F curvature has
+        # support only on rows/cols in nl — n_nl forward passes instead of 2d
+        def _pc(zz, t):
+            return nlp.pair_cost(zz[:d], zz[d:], t)
+
+        pc_hess = jax.vmap(jax.hessian(_pc, argnums=0))
+
+        def _lamF(zz, t, lam_t):
+            return -lam_t @ nlp.defect(zz[:d], zz[d:], t)
+
+        g_lamF = jax.grad(_lamF, argnums=0)
+        nl_j = jnp.asarray(nl)
+
+        def _pair_curv(zz, t, lam_t):
+            def g_of_v(v):
+                return g_lamF(zz.at[nl_j].set(v), t, lam_t)
+
+            cols = jax.jacfwd(g_of_v)(zz[nl_j])  # (2d, n_nl)
+            Hc = jnp.zeros((2 * d, 2 * d), zz.dtype)
+            Hc = Hc.at[:, nl_j].set(cols)
+            Hc = Hc.at[nl_j, :].set(cols.T)
+            return Hc
+
+        pair_curv = jax.vmap(_pair_curv)
+
+        def pair_hess(zz, ts_p, lam):
+            return pc_hess(zz, ts_p) + pair_curv(zz, ts_p, lam)
+
+    else:
+        pair_hess = jax.vmap(jax.hessian(_pair_lag, argnums=0))
 
     def _gn_pair_cost_hess():
         # Gauss-Newton mode: drop the lam^T F curvature (quasi-Newton analog
