@@ -117,7 +117,7 @@ def main():
 
     # host-side f64 validation of final rollout infidelity: prefer the
     # native C++ validator (validates the full batch), fall back to scipy
-    Z = np.asarray(state.Z)
+    Z = solver.unscale(np.asarray(state.Z))
     dts_sl = prob.trajectory.comp_slice("Δt")
     a_all = Z[:, :, a_sl].astype(np.float64)
     dts_all = Z[:, :, dts_sl][:, :, 0].astype(np.float64)

@@ -78,6 +78,10 @@ class InteriorPointSolver:
     exact_hessian: bool = True
 
     def __post_init__(self):
+        nlp_raw = self.nlp
+        self.var_scale = np.ones(nlp_raw.d)
+        if self.options.nlp_scaling:
+            self.nlp = self._build_scaled_nlp(nlp_raw)
         self.funcs = make_nlp_functions(
             self.nlp, exact_hessian=self.exact_hessian
         )
@@ -91,14 +95,68 @@ class InteriorPointSolver:
         self._lb = np.where(np.isfinite(lb), lb, -_BIG)
         self._ub = np.where(np.isfinite(ub), ub, _BIG)
 
+    def _build_scaled_nlp(self, nlp: StageNLP) -> StageNLP:
+        """Ipopt-style gradient-based scaling + Jacobian-column variable
+        scaling, computed numerically once at the initial point.
+
+        Variable scale v_j = 1/max(1, max-col-norm of the defect Jacobian)
+        equalizes curvature (stiff Δt columns with ||∂F/∂Δt|| ~ ||G|| get
+        shrunk); row scales keep each scaled defect/inequality row and the
+        objective gradient at O(1..100).
+        """
+        from .stage_nlp import make_nlp_functions as _mk, scale_stage_nlp
+
+        funcs0 = _mk(nlp, exact_hessian=False)
+        z0 = jnp.asarray(nlp.z0, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        with jax.default_matmul_precision(self.options.matmul_precision):
+            A, B, Jg = jax.jit(funcs0.jac_blocks)(z0)
+            gphi = jax.jit(
+                lambda z: funcs0.grad_lagrangian(
+                    z,
+                    jnp.zeros((nlp.T - 1, nlp.s), z.dtype),
+                    jnp.zeros((nlp.T, nlp.m), z.dtype),
+                )
+            )(z0)
+        A = np.abs(np.asarray(A))
+        B = np.abs(np.asarray(B))
+        free = np.asarray(nlp.free_mask, dtype=np.float64)
+        # column norms over all knots and defect rows (free columns only)
+        col = np.maximum(A.max(axis=(0, 1)), B.max(axis=(0, 1)))
+        col = col * (free.max(axis=0) > 0)
+        v = 1.0 / np.maximum(1.0, col)
+        # scaled row norms -> defect row scales
+        rowA = (A * v[None, None, :]).max(axis=(0, 2))
+        rowB = (B * v[None, None, :]).max(axis=(0, 2))
+        r = 1.0 / np.maximum(1.0, np.maximum(rowA, rowB))
+        # inequality row scales
+        if nlp.m > 0:
+            Jg = np.abs(np.asarray(Jg))
+            q = 1.0 / np.maximum(
+                1.0, (Jg * v[None, None, :]).max(axis=(0, 2))
+            )
+        else:
+            q = np.ones(0)
+        # objective gradient scale (Ipopt: scale down if > 100)
+        gmax = float(np.max(np.abs(np.asarray(gphi)) * v[None, :]))
+        s_obj = 100.0 / max(100.0, gmax)
+        self.var_scale = v
+        return scale_stage_nlp(nlp, v, r, q, s_obj)
+
+    def unscale(self, Z):
+        """Map solver-internal (scaled) decision values back to problem units."""
+        return np.asarray(Z) * self.var_scale
+
     # ------------------------------------------------------------------ #
     # initialization
     # ------------------------------------------------------------------ #
     def init_state(self, Z0):
-        """Z0: (B, T, d) initial primal values (batch required)."""
+        """Z0: (B, T, d) initial primal values in PROBLEM units (batch
+        required); internally converted to scaled coordinates."""
         opts = self.options
         nlp = self.nlp
         Z0 = jnp.asarray(Z0)
+        if self.options.nlp_scaling:
+            Z0 = Z0 / jnp.asarray(self.var_scale, Z0.dtype)
         assert Z0.ndim == 3, "Z0 must be (batch, T, d)"
         B = Z0.shape[0]
         dtype = Z0.dtype
@@ -502,8 +560,13 @@ class InteriorPointSolver:
             state = self._solve_loop(state, max_iter)
 
         obj = jax.vmap(self.funcs.total_cost)(state.Z)
+        Z_out = (
+            state.Z * jnp.asarray(self.var_scale, state.Z.dtype)
+            if self.options.nlp_scaling
+            else state.Z
+        )
         return IPMResult(
-            Z=state.Z,
+            Z=Z_out,
             lam=state.lam,
             converged=state.converged,
             n_iter=state.n_iter,

@@ -45,6 +45,9 @@ class SolverOptions:
     # full f32 accuracy), "high" (3-pass), or "default" (fast, bf16-ish —
     # insufficient for tight KKT tolerances)
     matmul_precision: str = "highest"
+    # Ipopt-style gradient-based objective/constraint scaling plus
+    # Jacobian-column variable scaling, computed once at the initial point
+    nlp_scaling: bool = True
 
     def replace(self, **kwargs):
         return dataclasses.replace(self, **kwargs)

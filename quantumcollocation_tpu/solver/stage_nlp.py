@@ -26,7 +26,56 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["StageNLP", "NLPFunctions", "make_nlp_functions"]
+__all__ = [
+    "StageNLP",
+    "NLPFunctions",
+    "make_nlp_functions",
+    "scale_stage_nlp",
+]
+
+
+def scale_stage_nlp(nlp: "StageNLP", var_scale, defect_scale, ineq_scale, obj_scale):
+    """Return a StageNLP in scaled coordinates ẑ = z / v.
+
+    var_scale v: (d,) > 0;  defect_scale r: (s,);  ineq_scale q: (m,);
+    obj_scale: scalar.  The scaled problem is
+        min  s_obj * phi(v∘ẑ)   s.t.  r ∘ F(v∘ẑ..) = 0,  q ∘ g(v∘ẑ) >= 0,
+        lb/v <= ẑ <= ub/v
+    — Ipopt's gradient-based scaling generalized with Jacobian-column-norm
+    variable scaling (equalizes curvature across e.g. stiff Δt columns).
+    """
+    v = jnp.asarray(var_scale)
+    r = jnp.asarray(defect_scale)
+    q = jnp.asarray(ineq_scale)
+    s_obj = float(obj_scale)
+    v_np = np.asarray(var_scale)
+
+    def stage_cost(z, t):
+        return s_obj * nlp.stage_cost(v * z, t)
+
+    def pair_cost(zt, ztp1, t):
+        return s_obj * nlp.pair_cost(v * zt, v * ztp1, t)
+
+    def terminal_cost(zT):
+        return s_obj * nlp.terminal_cost(v * zT)
+
+    def defect(zt, ztp1, t):
+        return r * nlp.defect(v * zt, v * ztp1, t)
+
+    def ineq(z, t):
+        return q * nlp.ineq(v * z, t)
+
+    return dataclasses.replace(
+        nlp,
+        stage_cost=stage_cost,
+        pair_cost=pair_cost,
+        terminal_cost=terminal_cost,
+        defect=defect,
+        ineq=ineq,
+        lb=np.asarray(nlp.lb) / v_np[None, :],
+        ub=np.asarray(nlp.ub) / v_np[None, :],
+        z0=np.asarray(nlp.z0) / v_np[None, :],
+    )
 
 
 @dataclasses.dataclass

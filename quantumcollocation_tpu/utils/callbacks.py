@@ -27,7 +27,7 @@ def trajectory_history_callback(prob):
     history = []
 
     def callback(k, state):
-        history.append(prob.write_back(np.asarray(state.Z[0])))
+        history.append(prob.write_back(prob.solver.unscale(state.Z[0])))
         return True
 
     return callback, history
@@ -40,7 +40,7 @@ def best_rollout_fidelity_callback(prob, *, state_name="Ũ⃗", drive_name="a"):
     best = {"fidelity": -np.inf, "trajectory": None, "iteration": -1}
 
     def callback(k, state):
-        traj = prob.write_back(np.asarray(state.Z[0]))
+        traj = prob.write_back(prob.solver.unscale(state.Z[0]))
         fid = float(
             unitary_rollout_fidelity(
                 traj, prob.system, state_name=state_name, drive_name=drive_name
