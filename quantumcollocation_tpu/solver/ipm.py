@@ -412,20 +412,25 @@ class InteriorPointSolver:
             jnp.max(jnp.abs(w + dw_ineq), initial=1.0) if m > 0 else 1.0,
         )
 
-        def merit(Zc, sigc):
-            val = f.total_cost(Zc)
+        def merit_parts(val, Fv, gv, Zc, sigc):
             slc = jnp.where(has_lb > 0, Zc - lb, 1.0)
             suc = jnp.where(has_ub > 0, ub - Zc, 1.0)
             barrier = jnp.sum(jnp.log(jnp.maximum(slc, 1e-300)) * has_lb)
             barrier += jnp.sum(jnp.log(jnp.maximum(suc, 1e-300)) * has_ub)
             if m > 0:
                 barrier += jnp.sum(jnp.log(jnp.maximum(sigc, 1e-300)))
-            infeas = jnp.sum(jnp.abs(f.defects(Zc)))
+            infeas = jnp.sum(jnp.abs(Fv))
             if m > 0:
-                infeas += jnp.sum(jnp.abs(f.ineqs(Zc) - sigc))
+                infeas += jnp.sum(jnp.abs(gv - sigc))
             return val - mu * barrier + nu_pen * infeas
 
-        m0 = merit(Z, sig)
+        def merit(Zc, sigc):
+            return merit_parts(
+                f.total_cost(Zc), f.defects(Zc), f.ineqs(Zc), Zc, sigc
+            )
+
+        # m0 reuses the already-evaluated residuals F, g
+        m0 = merit_parts(f.total_cost(Z), F, g, Z, sig)
 
         def ls_cond2(carry):
             k, alpha, accepted, best_a, best_m = carry

@@ -13,5 +13,6 @@ from .initialization import (
 )
 from .interpolation import DataInterpolation
 from .directsums import add_suffix, get_suffix, merge, remove_suffix
+from .indexing import comp_slice_at, index, slice_at
 
 __all__ = [name for name in dir() if not name.startswith("_")]

@@ -6,6 +6,7 @@ from .callbacks import (
     trajectory_history_callback,
 )
 from .serialization import load_trajectory, save_trajectory
+from .losses import expv, fidelity
 
 __all__ = [
     "best_rollout_fidelity_callback",
@@ -13,4 +14,6 @@ __all__ = [
     "trajectory_history_callback",
     "load_trajectory",
     "save_trajectory",
+    "expv",
+    "fidelity",
 ]
