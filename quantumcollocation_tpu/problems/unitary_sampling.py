@@ -207,7 +207,7 @@ def UnitarySamplingProblem(
                     sys,
                     drive_bounds=a_bounds,
                     dt_max=dt_max if piccolo_options.free_time else dt_mean,
-                        timestep_name=timestep_name,
+                    timestep_name=timestep_name,
                 )
             )
         else:
