@@ -20,7 +20,6 @@ from ..quantum.fidelities import (
     iso_vec_unitary_fidelity,
     iso_vec_unitary_free_phase_fidelity,
 )
-from ..quantum.isomorphisms import operator_to_iso_vec
 from .expm import expm_squaring
 
 __all__ = [

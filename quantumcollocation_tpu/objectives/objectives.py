@@ -15,7 +15,7 @@ lower it into the StageNLP IR without breaking the block-tridiagonal KKT:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Sequence
+from typing import Callable, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -16,7 +16,6 @@ from ..dynamics.integrators import (
     QuantumStatePadeIntegrator,
 )
 from ..objectives.objectives import QuadraticRegularizer, QuantumStateObjective
-from ..quantum.systems import QuantumSystem
 from ..solver.options import PiccoloOptions, SolverOptions
 from ..trajectory.directsums import merge as merge_trajs
 from ..trajectory.initialization import initialize_state_trajectory

@@ -11,8 +11,6 @@ structure is unchanged.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
-
 import numpy as np
 
 from ..dynamics.integrators import (

@@ -15,11 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.scipy.linalg import expm as _expm
 
-from .isomorphisms import (
-    iso_to_ket,
-    iso_vec_to_operator,
-    mat_to_iso,
-)
+from .isomorphisms import iso_to_ket, iso_vec_to_operator
 
 __all__ = [
     "fidelity",

@@ -9,7 +9,6 @@ components are recomputed from time differences, not interpolated.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 from .named_trajectory import NamedTrajectory
