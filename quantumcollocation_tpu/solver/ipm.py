@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .kkt import solve_kkt
+from .kkt_lanes import solve_kkt_lanes
 from .options import SolverOptions
 from .stage_nlp import StageNLP, make_nlp_functions
 
@@ -67,6 +68,32 @@ class IPMResult(NamedTuple):
     kkt_err: Any
     mu: Any
     objective: Any
+
+
+class _KKTIn(NamedTuple):
+    H: Any
+    C: Any
+    A: Any
+    B: Any
+    rz: Any
+    rnu: Any
+
+
+class _IterAux(NamedTuple):
+    F: Any
+    g: Any
+    Jg: Any
+    mu: Any
+    tau: Any
+    sl: Any
+    su: Any
+    Sig_l: Any
+    Sig_u: Any
+    E0: Any
+    E_dual: Any
+    E_pr: Any
+    E_comp0: Any
+    now_converged: Any
 
 
 @dataclasses.dataclass(eq=False)  # identity hash: jit-static self
@@ -231,9 +258,11 @@ class InteriorPointSolver:
         )
 
     # ------------------------------------------------------------------ #
-    # single-instance iteration (vmapped over the batch by `step`)
+    # single-instance iteration pieces (vmapped over the batch by `step`;
+    # the batched KKT solve happens between pre and post, outside the vmap,
+    # so the lanes-layout kernel backend can operate on the whole batch)
     # ------------------------------------------------------------------ #
-    def _iteration(self, state: IPMState) -> IPMState:
+    def _iteration_pre(self, state: IPMState):
         opts = self.options
         nlp = self.nlp
         f = self.funcs
@@ -241,8 +270,7 @@ class InteriorPointSolver:
         Z = state.Z
         lam, sig, w = state.lam, state.sig, state.w
         zl, zu = state.zl, state.zu
-        mu, delta_w = state.mu, state.delta_w
-        converged, n_iter = state.converged, state.n_iter
+        mu = state.mu
         dtype = Z.dtype
 
         free = jnp.asarray(self._free, dtype)
@@ -332,50 +360,50 @@ class InteriorPointSolver:
             + jnp.where(has_ub > 0, mu / su, 0.0)
         ) * free
 
-        # ---------------- factor + solve with reg retries ---------------- #
-        eye_d = jnp.eye(d, dtype=dtype)
-
-        def try_solve(dw):
-            Hreg = H + dw * eye_d[None]
-            return solve_kkt(Hreg, C, A, Bj, -r_z, -F, opts.delta_c)
-
-        # Ipopt-style inertia correction schedule: ALWAYS try delta=0 first;
-        # on failure start from kappa_w^- * delta_last (or delta_0 if fresh)
-        # and escalate by kappa_w^+ = 8 each further failure.
-        def cond_fn(carry):
-            k, dw_try, dw_used, dz, nu, ok = carry
-            return (~ok) & (k < 12)
-
-        def body_fn(carry):
-            k, dw_try, dw_used, dz, nu, ok = carry
-            dw_next = jnp.where(
-                k == 0,
-                0.0,
-                jnp.where(
-                    k == 1,
-                    jnp.where(
-                        delta_w > 0,
-                        jnp.maximum(opts.delta_w_min, delta_w / 3.0),
-                        1e-4,
-                    ),
-                    jnp.minimum(dw_try * 8.0, opts.delta_w_max),
-                ),
-            )
-            dz2, nu2, ok2 = try_solve(dw_next)
-            return (k + 1, dw_next, dw_next, dz2, nu2, ok2)
-
-        init = (
-            jnp.zeros((), jnp.int32),
-            jnp.zeros((), dtype),
-            jnp.zeros((), dtype),
-            jnp.zeros_like(Z),
-            jnp.zeros((T - 1, s), dtype),
-            jnp.zeros((), bool),
+        kkt_in = _KKTIn(H=H, C=C, A=A, B=Bj, rz=-r_z, rnu=-F)
+        aux = _IterAux(
+            F=F,
+            g=g,
+            Jg=Jg,
+            mu=mu,
+            tau=tau,
+            sl=sl,
+            su=su,
+            Sig_l=Sig_l,
+            Sig_u=Sig_u,
+            E0=E0,
+            E_dual=E_dual,
+            E_pr=E_pr,
+            E_comp0=comp_err(0.0),
+            now_converged=now_converged,
         )
-        _, _, dw_used, dz, nu, ok = jax.lax.while_loop(cond_fn, body_fn, init)
-        delta_w = jnp.where(dw_used > 0, dw_used, delta_w)
-        dz = jnp.where(ok, dz, 0.0)
-        dlam = -jnp.where(ok, nu, 0.0)
+        return kkt_in, aux
+
+    def _iteration_post(
+        self, state: IPMState, aux: "_IterAux", dz, dlam, ok, dw_used, delta_w
+    ) -> IPMState:
+        opts = self.options
+        nlp = self.nlp
+        f = self.funcs
+        T, d, s, m = nlp.T, nlp.d, nlp.s, nlp.m
+        Z = state.Z
+        lam, sig, w = state.lam, state.sig, state.w
+        zl, zu = state.zl, state.zu
+        converged, n_iter = state.converged, state.n_iter
+        dtype = Z.dtype
+
+        free = jnp.asarray(self._free, dtype)
+        has_lb = jnp.asarray(self._has_lb, dtype)
+        has_ub = jnp.asarray(self._has_ub, dtype)
+        lb = jnp.asarray(self._lb, dtype)
+        ub = jnp.asarray(self._ub, dtype)
+
+        (F, g, Jg, mu, tau, sl, su, Sig_l, Sig_u) = (
+            aux.F, aux.g, aux.Jg, aux.mu, aux.tau, aux.sl, aux.su,
+            aux.Sig_l, aux.Sig_u,
+        )
+        E0 = aux.E0
+        now_converged = aux.now_converged
 
         # ---------------- recover slack/dual directions ---------------- #
         if m > 0:
@@ -523,11 +551,89 @@ class InteriorPointSolver:
             n_iter=n_iter + jnp.where(upd, 1, 0).astype(jnp.int32),
             kkt_err=E0,
             alpha=alpha,
-            e_dual=E_dual,
-            e_pr=E_pr,
-            e_comp=comp_err(0.0),
+            e_dual=aux.E_dual,
+            e_pr=aux.E_pr,
+            e_comp=aux.E_comp0,
             ls_k=k_ls,
             reg_dw=dw_used,
+        )
+
+    # ------------------------------------------------------------------ #
+    # batched KKT solve with inertia-correction retries (between pre/post)
+    # ------------------------------------------------------------------ #
+    def _solve_kkt_batched(self, kkt_in: _KKTIn, delta_w0):
+        """Solve the whole batch's KKT systems, escalating per-instance
+        primal regularization on factorization failure (Ipopt schedule:
+        try 0 first, then delta_last/3, then x8 per retry)."""
+        opts = self.options
+        nlp = self.nlp
+        H, C, A, Bj, rz, rnu = kkt_in
+        Bt = H.shape[0]
+        dtype = H.dtype
+        eye_d = jnp.eye(nlp.d, dtype=dtype)
+
+        def attempt(dw):
+            Hreg = H + dw[:, None, None, None] * eye_d
+            if opts.kkt_backend == "lanes":
+                return solve_kkt_lanes(
+                    Hreg, C, A, Bj, rz, rnu, opts.delta_c,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            return jax.vmap(
+                lambda h, c, a, b, r1, r2: solve_kkt(
+                    h, c, a, b, r1, r2, opts.delta_c
+                )
+            )(Hreg, C, A, Bj, rz, rnu)
+
+        def cond_fn(carry):
+            k, dw_try, dw_used, dz, nu, ok = carry
+            return (~ok.all()) & (k < 12)
+
+        def body_fn(carry):
+            k, dw_try, dw_used, dz, nu, ok = carry
+            dw_next = jnp.where(
+                k == 0,
+                0.0,
+                jnp.where(
+                    k == 1,
+                    jnp.where(
+                        delta_w0 > 0,
+                        jnp.maximum(opts.delta_w_min, delta_w0 / 3.0),
+                        1e-4,
+                    ),
+                    jnp.minimum(dw_try * 8.0, opts.delta_w_max),
+                ),
+            )
+            dz2, nu2, ok2 = attempt(dw_next)
+            # keep already-successful instances' results
+            dz = jnp.where(ok[:, None, None], dz, dz2)
+            nu = jnp.where(ok[:, None, None], nu, nu2)
+            dw_used = jnp.where(ok, dw_used, dw_next)
+            return (k + 1, dw_next, dw_used, dz, nu, ok | ok2)
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((Bt,), dtype),
+            jnp.zeros((Bt,), dtype),
+            jnp.zeros((Bt, nlp.T, nlp.d), dtype),
+            jnp.zeros((Bt, nlp.T - 1, nlp.s), dtype),
+            jnp.zeros((Bt,), bool),
+        )
+        _, _, dw_used, dz, nu, ok = jax.lax.while_loop(
+            cond_fn, body_fn, init
+        )
+        delta_w_new = jnp.where(dw_used > 0, dw_used, delta_w0)
+        dz = jnp.where(ok[:, None, None], dz, 0.0)
+        dlam = -jnp.where(ok[:, None, None], nu, 0.0)
+        return dz, dlam, ok, dw_used, delta_w_new
+
+    def _step_impl(self, state: IPMState) -> IPMState:
+        kkt_in, aux = jax.vmap(self._iteration_pre)(state)
+        dz, dlam, ok, dw_used, delta_w_new = self._solve_kkt_batched(
+            kkt_in, state.delta_w
+        )
+        return jax.vmap(self._iteration_post)(
+            state, aux, dz, dlam, ok, dw_used, delta_w_new
         )
 
     # ------------------------------------------------------------------ #
@@ -535,11 +641,11 @@ class InteriorPointSolver:
     # ------------------------------------------------------------------ #
     @partial(jax.jit, static_argnums=(0,))
     def step(self, state: IPMState) -> IPMState:
-        """One batched IPM iteration (vmapped single-instance Newton steps)."""
+        """One batched IPM iteration."""
         # full f32 matmul precision: TPU default (bf16 passes) is not enough
         # for the condensed KKT arithmetic
         with jax.default_matmul_precision(self.options.matmul_precision):
-            return jax.vmap(self._iteration)(state)
+            return self._step_impl(state)
 
     def solve(self, Z0, *, max_iter=None, callback=None) -> IPMResult:
         """Run the IPM to convergence or max_iter.
@@ -588,7 +694,7 @@ class InteriorPointSolver:
 
         def body(carry):
             k, st = carry
-            return (k + 1, jax.vmap(self._iteration)(st))
+            return (k + 1, self._step_impl(st))
 
         with jax.default_matmul_precision(self.options.matmul_precision):
             _, final = jax.lax.while_loop(

@@ -1,0 +1,296 @@
+"""Lanes-layout Pallas kernels for the block-tridiagonal KKT solve.
+
+Why: the XLA path (kkt.py) runs batched (B, d, d) linear algebra with d ~ 16.
+On TPU these tiny ops cannot tile the MXU/VPU — measured throughput scales
+LINEARLY in batch (dispatch-bound, chip ~idle).  The fix is the
+batch-across-lanes layout: every matrix ENTRY is a 128-lane vector of batch
+instances, so a Cholesky column update or a matmul inner product is a full
+VPU op on 128 instances at once.  One fused Pallas kernel per scan step
+replaces ~10 badly-laid-out XLA ops.
+
+All matrix-index loops are static Python unrolls (d, s <= ~40), producing a
+few hundred vector ops per kernel — friendly to Mosaic.  The scan over knots
+stays a lax.scan; arrays are transposed to (..., lanes) once per solve.
+
+Numerics match kkt.py exactly (same elimination); validated in interpret
+mode against the XLA path and dense solves.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+__all__ = ["solve_kkt_lanes"]
+
+_L = 128  # lane tile
+
+
+# --------------------------------------------------------------------------- #
+# lanes linear algebra (static unrolls; all arrays (..., L))
+# --------------------------------------------------------------------------- #
+
+
+def _chol(M, n):
+    """Cholesky of (n, n, L) SPD matrices; returns lower-triangular (n, n, L)."""
+    cols = []
+    for j in range(n):
+        # column j: c = M[j:, j] - sum_{k<j} Lcols[k][j:] * Lcols[k][j]
+        c = M[j:, j]
+        for k in range(j):
+            c = c - cols[k][j - k:] * cols[k][j - k][None]
+        piv = jnp.sqrt(c[0])
+        col = c / piv[None]
+        col = col.at[0].set(piv)
+        cols.append(col)  # (n - j, L)
+    out = jnp.zeros_like(M)
+    for j, col in enumerate(cols):
+        out = out.at[j:, j].set(col)
+    return out
+
+
+def _fwd_sub(Lm, Bm, n):
+    """Solve Lm Y = Bm with Lm (n,n,L) lower, Bm (n, r, L). Returns (n, r, L)."""
+    rows = []
+    for i in range(n):
+        acc = Bm[i]
+        for k in range(i):
+            acc = acc - Lm[i, k][None] * rows[k]
+        rows.append(acc / Lm[i, i][None])
+    return jnp.stack(rows)
+
+
+def _bwd_sub(Lm, Bm, n):
+    """Solve Lm^T Y = Bm with Lm (n,n,L) lower, Bm (n, r, L)."""
+    rows = [None] * n
+    for i in reversed(range(n)):
+        acc = Bm[i]
+        for k in range(i + 1, n):
+            acc = acc - Lm[k, i][None] * rows[k]
+        rows[i] = acc / Lm[i, i][None]
+    return jnp.stack(rows)
+
+
+def _chol_solve(Lm, Bm, n):
+    return _bwd_sub(Lm, _fwd_sub(Lm, Bm, n), n)
+
+
+def _mm(Am, Bm):
+    """(m, k, L) @ (k, n, L) -> (m, n, L) lanes matmul."""
+    return jnp.einsum("ikb,knb->inb", Am, Bm)
+
+
+def _mt(Am):
+    return jnp.swapaxes(Am, 0, 1)
+
+
+# --------------------------------------------------------------------------- #
+# per-step kernels
+# --------------------------------------------------------------------------- #
+
+
+def _fwd_step_kernel(
+    P_ref, q_ref, Hn_ref, C_ref, A_ref, B_ref, rzn_ref, rnu_ref,
+    Pn_ref, qn_ref, LP_ref, LS_ref, XA_ref, qsave_ref,
+    *, d: int, s: int, delta_c: float,
+):
+    P = P_ref[...]
+    q = q_ref[...]  # (d, 1, L)
+    C = C_ref[...]
+    A = A_ref[...]
+    Bm = B_ref[...]
+
+    LP = _chol(P, d)
+    At = _mt(A)  # (d, s, L)
+    XA = _chol_solve(LP, At, d)  # (d, s, L)
+    XC = _chol_solve(LP, C, d)  # (d, d, L)
+    x = _chol_solve(LP, q, d)  # (d, 1, L)
+
+    S = _mm(A, XA)
+    for i in range(s):
+        S = S.at[i, i].add(delta_c)
+    LS = _chol(S, s)
+    G = _mm(A, XC) - Bm  # (s, d, L)
+    y = _chol_solve(LS, _mm(A, x) - rnu_ref[...], s)  # (s, 1, L)
+
+    SG = _chol_solve(LS, G, s)  # (s, d, L)
+    Pn = Hn_ref[...] - _mm(_mt(C), XC) + _mm(_mt(G), SG)
+    Pn = 0.5 * (Pn + _mt(Pn))
+    qn = rzn_ref[...] - _mm(_mt(C), x) + _mm(_mt(G), y)
+
+    Pn_ref[...] = Pn
+    qn_ref[...] = qn
+    LP_ref[...] = LP
+    LS_ref[...] = LS
+    XA_ref[...] = XA
+    qsave_ref[...] = q
+
+
+def _bwd_step_kernel(
+    dz_ref, LP_ref, LS_ref, XA_ref, q_ref, C_ref, A_ref, B_ref, rnu_ref,
+    dz_out_ref, nu_out_ref, *, d: int, s: int,
+):
+    dz_next = dz_ref[...]  # (d, 1, L)
+    LP = LP_ref[...]
+    LS = LS_ref[...]
+    XA = XA_ref[...]
+    u = q_ref[...] - _mm(C_ref[...], dz_next)
+    v = rnu_ref[...] - _mm(B_ref[...], dz_next)
+    x = _chol_solve(LP, u, d)
+    y = _chol_solve(LS, _mm(A_ref[...], x) - v, s)
+    dz_t = x - _mm(XA, y)
+    dz_out_ref[...] = dz_t
+    nu_out_ref[...] = y
+
+
+def _spec(*shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * (len(shape) - 1) + (i,))
+
+
+def _make_fwd_step(d, s, delta_c, interpret):
+    kernel = functools.partial(
+        _fwd_step_kernel, d=d, s=s, delta_c=delta_c
+    )
+
+    def fwd_step(P, q, Hn, C, A, B, rzn, rnu):
+        Lb = P.shape[-1]
+        grid = (Lb // _L,)
+        out_shape = [
+            jax.ShapeDtypeStruct((d, d, Lb), P.dtype),  # P_next
+            jax.ShapeDtypeStruct((d, 1, Lb), P.dtype),  # q_next
+            jax.ShapeDtypeStruct((d, d, Lb), P.dtype),  # LP
+            jax.ShapeDtypeStruct((s, s, Lb), P.dtype),  # LS
+            jax.ShapeDtypeStruct((d, s, Lb), P.dtype),  # XA
+            jax.ShapeDtypeStruct((d, 1, Lb), P.dtype),  # qsave
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                _spec(d, d, _L), _spec(d, 1, _L), _spec(d, d, _L),
+                _spec(d, d, _L), _spec(s, d, _L), _spec(s, d, _L),
+                _spec(d, 1, _L), _spec(s, 1, _L),
+            ],
+            out_specs=[
+                _spec(d, d, _L), _spec(d, 1, _L), _spec(d, d, _L),
+                _spec(s, s, _L), _spec(d, s, _L), _spec(d, 1, _L),
+            ],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(P, q, Hn, C, A, B, rzn, rnu)
+
+    return fwd_step
+
+
+def _make_bwd_step(d, s, interpret):
+    kernel = functools.partial(_bwd_step_kernel, d=d, s=s)
+
+    def bwd_step(dz_next, LP, LS, XA, q, C, A, B, rnu):
+        Lb = dz_next.shape[-1]
+        grid = (Lb // _L,)
+        out_shape = [
+            jax.ShapeDtypeStruct((d, 1, Lb), dz_next.dtype),
+            jax.ShapeDtypeStruct((s, 1, Lb), dz_next.dtype),
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                _spec(d, 1, _L), _spec(d, d, _L), _spec(s, s, _L),
+                _spec(d, s, _L), _spec(d, 1, _L), _spec(d, d, _L),
+                _spec(s, d, _L), _spec(s, d, _L), _spec(s, 1, _L),
+            ],
+            out_specs=[_spec(d, 1, _L), _spec(s, 1, _L)],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(dz_next, LP, LS, XA, q, C, A, B, rnu)
+
+    return bwd_step
+
+
+# --------------------------------------------------------------------------- #
+# full solve
+# --------------------------------------------------------------------------- #
+
+
+@functools.partial(jax.jit, static_argnames=("delta_c", "interpret"))
+def solve_kkt_lanes(H, C, A, B, rz, rnu, delta_c: float, *, interpret: bool = False):
+    """Batched block-tridiagonal KKT solve in lanes layout.
+
+    Inputs in standard batch-first layout: H (Bt, T, d, d), C (Bt, T-1, d, d),
+    A/B (Bt, T-1, s, d), rz (Bt, T, d), rnu (Bt, T-1, s).  The batch is
+    padded to a multiple of 128 internally.  Returns (dz, nu, ok) matching
+    solver.kkt.solve_kkt vmapped over the batch.
+    """
+    Bt, T, d, _ = H.shape
+    s = A.shape[2]
+    Bp = ((Bt + _L - 1) // _L) * _L
+
+    def pad(x):
+        if Bp == Bt:
+            return x
+        pad_width = [(0, Bp - Bt)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad_width)
+
+    # padding lanes get identity H blocks so Cholesky stays finite
+    Hp = pad(H)
+    if Bp != Bt:
+        eye = jnp.broadcast_to(
+            jnp.eye(d, dtype=H.dtype), (Bp - Bt, T, d, d)
+        )
+        Hp = Hp.at[Bt:].set(eye)
+    Cp, Ap, Bjp = pad(C), pad(A), pad(B)
+    rzp, rnup = pad(rz), pad(rnu)
+
+    # lanes layout: (T, rows, cols, B)
+    def lanes(x):
+        return jnp.moveaxis(x, 0, -1)
+
+    Hl = lanes(Hp)  # (T, d, d, Bp)
+    Cl = lanes(Cp)
+    Al = lanes(Ap)
+    Bl = lanes(Bjp)
+    rzl = lanes(rzp)[..., None, :]  # (T, d, 1, Bp)
+    rnul = lanes(rnup)[..., None, :]  # (T-1, s, 1, Bp)
+
+    fwd = _make_fwd_step(d, s, float(delta_c), interpret)
+    bwd = _make_bwd_step(d, s, interpret)
+
+    def fwd_scan(carry, inp):
+        P, q = carry
+        Hn, C_t, A_t, B_t, rzn, rnu_t = inp
+        Pn, qn, LP, LS, XA, qs = fwd(P, q, Hn, C_t, A_t, B_t, rzn, rnu_t)
+        return (Pn, qn), (LP, LS, XA, qs)
+
+    (P_fin, q_fin), saved = jax.lax.scan(
+        fwd_scan,
+        (Hl[0], rzl[0]),
+        (Hl[1:], Cl, Al, Bl, rzl[1:], rnul),
+    )
+    LPs, LSs, XAs, qs = saved
+
+    # terminal solve (single pallas step with A=0 to reuse machinery would
+    # waste work; do it in lanes jnp directly — tiny)
+    LPf = _chol(P_fin, d)
+    dz_last = _chol_solve(LPf, q_fin, d)
+
+    def bwd_scan(dz_next, inp):
+        LP, LS, XA, q_t, C_t, A_t, B_t, rnu_t = inp
+        dz_t, nu_t = bwd(dz_next, LP, LS, XA, q_t, C_t, A_t, B_t, rnu_t)
+        return dz_t, (dz_t, nu_t)
+
+    _, (dz_rest, nus) = jax.lax.scan(
+        bwd_scan,
+        dz_last,
+        (LPs, LSs, XAs, qs, Cl, Al, Bl, rnul),
+        reverse=True,
+    )
+
+    dz_l = jnp.concatenate([dz_rest, dz_last[None]], axis=0)  # (T, d, 1, Bp)
+    dz = jnp.moveaxis(dz_l[:, :, 0, :], -1, 0)[:Bt]  # (Bt, T, d)
+    nu = jnp.moveaxis(nus[:, :, 0, :], -1, 0)[:Bt]  # (Bt, T-1, s)
+    ok = jnp.isfinite(dz).all(axis=(1, 2)) & jnp.isfinite(nu).all(axis=(1, 2))
+    return dz, nu, ok

@@ -48,6 +48,9 @@ class SolverOptions:
     # Ipopt-style gradient-based objective/constraint scaling plus
     # Jacobian-column variable scaling, computed once at the initial point
     nlp_scaling: bool = True
+    # KKT factorization backend: "xla" (vmapped small linear algebra) or
+    # "lanes" (Pallas batch-across-lanes kernels; TPU-optimized layout)
+    kkt_backend: str = "xla"
 
     def replace(self, **kwargs):
         return dataclasses.replace(self, **kwargs)

@@ -1,0 +1,110 @@
+"""TPU A/B measurement: lanes vs xla KKT backends + component timings.
+
+Run on the real chip (one process, patient with the grant):
+    nohup timeout 3500 python -u scripts/tpu_ab.py > /tmp/tpu_ab.log 2>&1 &
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import quantumcollocation_tpu as qct
+from quantumcollocation_tpu.solver.kkt import solve_kkt
+from quantumcollocation_tpu.solver.kkt_lanes import solve_kkt_lanes
+
+T, dt = 51, 0.2
+sys_q = qct.QuantumSystem(qct.GATES["Z"], [qct.GATES["X"], qct.GATES["Y"]])
+
+
+def build(backend):
+    return qct.UnitarySmoothPulseProblem(
+        sys_q, qct.GATES["H"], T, dt, Q=1e4, R=1e-3,
+        ipopt_options=qct.SolverOptions(
+            print_level=1, tol=1e-5, matmul_precision="highest",
+            kkt_backend=backend,
+        ),
+        piccolo_options=qct.PiccoloOptions(verbose=False),
+        rng=np.random.default_rng(0),
+    )
+
+
+def timed(fn, *args, reps=3):
+    out = fn(*args)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+    return (time.perf_counter() - t0) / reps, out
+
+
+def main():
+    for backend in ["lanes", "xla"]:
+        prob = build(backend)
+        solver = prob.solver
+        for B in [128, 512]:
+            Z0 = prob.multistart_initial_decisions(
+                B, sigma=0.1, rng=np.random.default_rng(42)
+            )
+            Z0j = jnp.asarray(Z0, jnp.float32)
+            solve = jax.jit(
+                lambda z: solver._solve_loop(solver.init_state(z), 60)
+            )
+            t0 = time.perf_counter()
+            st = solve(Z0j)
+            jax.block_until_ready(st)
+            compile_s = time.perf_counter() - t0
+            wall, st = timed(solve, Z0j, reps=1)
+            conv = float(np.asarray(st.converged).mean())
+            print(
+                json.dumps(
+                    {
+                        "what": "solve",
+                        "backend": backend,
+                        "B": B,
+                        "wall": round(wall, 3),
+                        "compile": round(compile_s, 1),
+                        "conv": conv,
+                        "solves_per_s": round(B / wall, 1),
+                    }
+                ),
+                flush=True,
+            )
+
+        # component timings at B=128
+        B = 128
+        Z0 = prob.multistart_initial_decisions(
+            B, sigma=0.1, rng=np.random.default_rng(1)
+        )
+        state = solver.init_state(jnp.asarray(Z0, jnp.float32))
+        with jax.default_matmul_precision("highest"):
+            pre = jax.jit(lambda s: jax.vmap(solver._iteration_pre)(s))
+            t_pre, (kkt_in, aux) = timed(pre, state)
+            kb = jax.jit(
+                lambda ki, dw: solver._solve_kkt_batched(ki, dw)
+            )
+            t_kkt, _ = timed(kb, kkt_in, state.delta_w)
+            stp = jax.jit(solver._step_impl)
+            t_step, _ = timed(stp, state)
+        print(
+            json.dumps(
+                {
+                    "what": "components",
+                    "backend": backend,
+                    "B": B,
+                    "pre_ms": round(t_pre * 1e3, 1),
+                    "kkt_ms": round(t_kkt * 1e3, 1),
+                    "step_ms": round(t_step * 1e3, 1),
+                }
+            ),
+            flush=True,
+        )
+    print("AB DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
