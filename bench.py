@@ -44,6 +44,7 @@ def main():
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--precision", type=str, default="highest")
+    parser.add_argument("--kkt-backend", dest="kkt_backend", type=str, default="xla")
     args = parser.parse_args()
     if args.smoke:
         args.batch, args.iters, args.repeats = 8, 30, 1
@@ -71,7 +72,10 @@ def main():
         Q=1e4,
         R=1e-3,
         ipopt_options=qct.SolverOptions(
-            print_level=1, tol=1e-5, matmul_precision=args.precision
+            print_level=1,
+            tol=1e-5,
+            matmul_precision=args.precision,
+            kkt_backend=args.kkt_backend,
         ),
         piccolo_options=qct.PiccoloOptions(verbose=False),
         rng=np.random.default_rng(0),
@@ -170,6 +174,7 @@ def main():
                     "median_infid": locals().get("med_infid"),
                     "backend": jax.default_backend(),
                     "precision": args.precision,
+                    "kkt_backend": args.kkt_backend,
                     "kkt_iters_per_s": round(args.iters * B / wall, 1),
                 },
             }

@@ -35,7 +35,11 @@ _L = 128  # lane tile
 
 
 def _chol(M, n):
-    """Cholesky of (n, n, L) SPD matrices; returns lower-triangular (n, n, L)."""
+    """Cholesky of (n, n, L) SPD matrices; returns lower-triangular (n, n, L).
+
+    Scatter-free: columns are computed as vectors and the factor is assembled
+    with stack/concatenate only (Mosaic has no scatter lowering).
+    """
     cols = []
     for j in range(n):
         # column j: c = M[j:, j] - sum_{k<j} Lcols[k][j:] * Lcols[k][j]
@@ -43,13 +47,17 @@ def _chol(M, n):
         for k in range(j):
             c = c - cols[k][j - k:] * cols[k][j - k][None]
         piv = jnp.sqrt(c[0])
-        col = c / piv[None]
-        col = col.at[0].set(piv)
+        col = jnp.concatenate([piv[None], c[1:] / piv[None]], axis=0)
         cols.append(col)  # (n - j, L)
-    out = jnp.zeros_like(M)
-    for j, col in enumerate(cols):
-        out = out.at[j:, j].set(col)
-    return out
+    # assemble rows: L[i, j] = cols[j][i - j] for j <= i else 0
+    zero = jnp.zeros_like(M[0, 0])
+    rows = []
+    for i in range(n):
+        entries = [
+            cols[j][i - j] if j <= i else zero for j in range(n)
+        ]
+        rows.append(jnp.stack(entries, axis=0))  # (n, L)
+    return jnp.stack(rows, axis=0)
 
 
 def _fwd_sub(Lm, Bm, n):
@@ -109,9 +117,7 @@ def _fwd_step_kernel(
     XC = _chol_solve(LP, C, d)  # (d, d, L)
     x = _chol_solve(LP, q, d)  # (d, 1, L)
 
-    S = _mm(A, XA)
-    for i in range(s):
-        S = S.at[i, i].add(delta_c)
+    S = _mm(A, XA) + delta_c * jnp.eye(s, dtype=P.dtype)[:, :, None]
     LS = _chol(S, s)
     G = _mm(A, XC) - Bm  # (s, d, L)
     y = _chol_solve(LS, _mm(A, x) - rnu_ref[...], s)  # (s, 1, L)
