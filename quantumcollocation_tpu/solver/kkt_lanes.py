@@ -47,7 +47,10 @@ def _chol(M, n):
         for k in range(j):
             c = c - cols[k][j - k:] * cols[k][j - k][None]
         piv = jnp.sqrt(c[0])
-        col = jnp.concatenate([piv[None], c[1:] / piv[None]], axis=0)
+        if c.shape[0] > 1:
+            col = jnp.concatenate([piv[None], c[1:] / piv[None]], axis=0)
+        else:  # last column: avoid 0-sized vectors (Mosaic rejects them)
+            col = piv[None]
         cols.append(col)  # (n - j, L)
     # assemble rows: L[i, j] = cols[j][i - j] for j <= i else 0
     zero = jnp.zeros_like(M[0, 0])
