@@ -22,14 +22,8 @@ def main():
     print("smooth fidelity:",
           float(qct.unitary_rollout_fidelity(prob.trajectory, system)))
 
-    # stage 2: free-time re-grid seeded with the solved controls, minimum time
-    traj2 = qct.initialize_unitary_trajectory(
-        qct.GATES["H"], T, dt, 2,
-        [np.ones(2), np.full(2, np.inf), np.ones(2)],
-        free_time=True,
-        a_guess=np.asarray(prob.trajectory["a"]),
-        system=system,
-    )
+    # stage 2: free-time warm start from the solved trajectory, minimum time
+    traj2 = qct.resample_free_time(prob.trajectory)
     print("duration before:", float(traj2.duration()))
     mt = qct.UnitaryMinimumTimeProblem(
         traj2, system, prob.get_objective(), prob.integrators, [],

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .kkt import solve_kkt
+from .kkt import KKTFactors, factor_kkt, solve_kkt, solve_with_factors
 from .kkt_lanes import solve_kkt_lanes
 from .options import SolverOptions
 from .stage_nlp import StageNLP, make_nlp_functions
@@ -94,6 +94,8 @@ class _IterAux(NamedTuple):
     E_pr: Any
     E_comp0: Any
     now_converged: Any
+    lam: Any  # effective equality multipliers (post-recalc_y reset)
+    rz_kkt: Any  # the KKT z-row rhs (for second-order-correction re-solves)
 
 
 @dataclasses.dataclass(eq=False)  # identity hash: jit-static self
@@ -285,6 +287,50 @@ class InteriorPointSolver:
         # ---------------- residuals & KKT error ---------------- #
         F = f.defects(Z)  # (T-1, s)
         g = f.ineqs(Z)  # (T, m)
+        # constraint Jacobian blocks (also feed the dual recalculation)
+        A, Bj, Jg = f.jac_blocks(Z)
+
+        E_pr_raw = jnp.max(jnp.abs(F))
+        if m > 0:
+            E_pr_raw = jnp.maximum(E_pr_raw, jnp.max(jnp.abs(g - sig)))
+
+        if opts.recalc_y:
+            # Full least-squares multiplier reset at near-feasible points
+            # (the reference's recalc_y knob, /root/reference/src/
+            # problem_templates/unitary_robustness_problem.jl:166):
+            # lam_LS = argmin ||grad phi - Jg^T w - zl + zu - J_F^T lam||,
+            # via the H = I saddle solve (same trick as initialization).
+            A_m = A * free[:-1, None, :]
+            B_m = Bj * free[1:, None, :]
+            gother = (
+                f.grad_lagrangian(Z, jnp.zeros((T - 1, s), dtype), w)
+                - has_lb * zl
+                + has_ub * zu
+            ) * free
+            eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype), (T, d, d))
+            Cz = jnp.zeros((T - 1, d, d), dtype)
+            _, nu_ls, ok_ls = solve_kkt(
+                eye, Cz, A_m, B_m, gother, jnp.zeros((T - 1, s), dtype), 1e-8
+            )
+
+            # accept the reset only if it actually shrinks the dual residual
+            # (the LS solve carries an O(delta) floor; resetting past the
+            # Newton iterates' accuracy would stall convergence)
+            def jt_lam(lmb):
+                out = jnp.zeros((T, d), dtype)
+                out = out.at[:-1].add(jnp.einsum("tsd,ts->td", A_m, lmb))
+                out = out.at[1:].add(jnp.einsum("tsd,ts->td", B_m, lmb))
+                return out
+
+            res_cur = jnp.max(jnp.abs(gother - jt_lam(lam)))
+            res_ls = jnp.max(jnp.abs(gother - jt_lam(nu_ls)))
+            good = (
+                ok_ls
+                & (E_pr_raw <= opts.recalc_y_feas_tol)
+                & (res_ls < res_cur)
+            )
+            lam = jnp.where(good, nu_ls, lam)
+
         gL = f.grad_lagrangian(Z, lam, w)  # grad phi - J_F^T lam - J_g^T w
         r_dual = (gL - has_lb * zl + has_ub * zu) * free
 
@@ -299,9 +345,7 @@ class InteriorPointSolver:
         s_d = jnp.maximum(s_max, dual_sum / max(n_duals, 1)) / s_max
 
         E_dual = jnp.max(jnp.abs(r_dual)) / s_d
-        E_pr = jnp.max(jnp.abs(F))
-        if m > 0:
-            E_pr = jnp.maximum(E_pr, jnp.max(jnp.abs(g - sig)))
+        E_pr = E_pr_raw
 
         def comp_err(muv):
             e = jnp.max(jnp.abs(sl * zl - muv) * has_lb, initial=0.0)
@@ -329,7 +373,6 @@ class InteriorPointSolver:
         tau = jnp.maximum(opts.tau_min, 1.0 - mu)
 
         # ---------------- assemble condensed KKT blocks ---------------- #
-        A, Bj, Jg = f.jac_blocks(Z)
         H, C = f.hess_blocks(Z, lam, w)
 
         Sig_l = jnp.where(has_lb > 0, zl / sl, 0.0)
@@ -376,18 +419,29 @@ class InteriorPointSolver:
             E_pr=E_pr,
             E_comp0=comp_err(0.0),
             now_converged=now_converged,
+            lam=lam,
+            rz_kkt=-r_z,
         )
         return kkt_in, aux
 
     def _iteration_post(
-        self, state: IPMState, aux: "_IterAux", dz, dlam, ok, dw_used, delta_w
+        self,
+        state: IPMState,
+        aux: "_IterAux",
+        dz,
+        dlam,
+        ok,
+        dw_used,
+        delta_w,
+        fac: "KKTFactors | None" = None,
     ) -> IPMState:
         opts = self.options
         nlp = self.nlp
         f = self.funcs
         T, d, s, m = nlp.T, nlp.d, nlp.s, nlp.m
         Z = state.Z
-        lam, sig, w = state.lam, state.sig, state.w
+        sig, w = state.sig, state.w
+        lam = aux.lam  # post-recalc_y multipliers
         zl, zu = state.zl, state.zu
         converged, n_iter = state.converged, state.n_iter
         dtype = Z.dtype
@@ -406,33 +460,37 @@ class InteriorPointSolver:
         now_converged = aux.now_converged
 
         # ---------------- recover slack/dual directions ---------------- #
-        if m > 0:
-            dsig = jnp.einsum("tmi,ti->tm", Jg, dz) + (g - sig)
-            dw_ineq = mu / sig - w - (w / sig) * dsig
-        else:
-            dsig = sig
-            dw_ineq = w
-        dzl = jnp.where(has_lb > 0, mu / sl - zl - Sig_l * dz, 0.0)
-        dzu = jnp.where(has_ub > 0, mu / su - zu + Sig_u * dz, 0.0)
-
-        # ---------------- fraction-to-boundary ---------------- #
         def max_step(val, dval, mask):
             # largest alpha with val + alpha*dval >= (1-tau)*val on mask
             ratio = jnp.where((dval < 0) & (mask > 0), -tau * val / dval, 1.0)
             return jnp.min(ratio, initial=1.0)
 
-        a_pri = jnp.minimum(
-            max_step(sl, dz, has_lb), max_step(su, -dz, has_ub)
-        )
-        if m > 0:
-            a_pri = jnp.minimum(a_pri, max_step(sig, dsig, jnp.ones_like(sig)))
-        a_dual = jnp.minimum(
-            max_step(zl, dzl, has_lb), max_step(zu, dzu, has_ub)
-        )
-        if m > 0:
-            a_dual = jnp.minimum(
-                a_dual, max_step(w, dw_ineq, jnp.ones_like(w))
+        def dir_quants(dzv):
+            """Slack/bound-dual directions + fraction-to-boundary steps for a
+            primal direction dzv (shared by the Newton and SOC steps)."""
+            if m > 0:
+                dsig_v = jnp.einsum("tmi,ti->tm", Jg, dzv) + (g - sig)
+                dw_v = mu / sig - w - (w / sig) * dsig_v
+            else:
+                dsig_v = sig
+                dw_v = w
+            dzl_v = jnp.where(has_lb > 0, mu / sl - zl - Sig_l * dzv, 0.0)
+            dzu_v = jnp.where(has_ub > 0, mu / su - zu + Sig_u * dzv, 0.0)
+            a_p = jnp.minimum(
+                max_step(sl, dzv, has_lb), max_step(su, -dzv, has_ub)
             )
+            if m > 0:
+                a_p = jnp.minimum(
+                    a_p, max_step(sig, dsig_v, jnp.ones_like(sig))
+                )
+            a_d = jnp.minimum(
+                max_step(zl, dzl_v, has_lb), max_step(zu, dzu_v, has_ub)
+            )
+            if m > 0:
+                a_d = jnp.minimum(a_d, max_step(w, dw_v, jnp.ones_like(w)))
+            return dsig_v, dw_v, dzl_v, dzu_v, a_p, a_d
+
+        dsig, dw_ineq, dzl, dzu, a_pri, a_dual = dir_quants(dz)
 
         # ---------------- merit line search ---------------- #
         nu_pen = 1.2 * jnp.maximum(
@@ -494,6 +552,46 @@ class InteriorPointSolver:
         # prevents the stall of repeatedly taking a fixed tiny step)
         alpha = jnp.where(accepted, alpha, best_a)
         alpha = jnp.where(ok, alpha, 0.0)
+
+        # ---------------- second-order correction ---------------- #
+        # Ipopt step A-5.1 (Wächter & Biegler 2006): when the full step was
+        # rejected and the constraint violation grew, re-solve the SAME KKT
+        # factorization with the corrected defect rhs -(alpha*F + F(trial))
+        # and take the corrected step if it wins on merit.  Costs one extra
+        # defect evaluation + a triangular re-solve (no refactorization).
+        if opts.soc and fac is not None:
+            Z1 = Z + a_pri * dz
+            sig1 = sig + a_pri * dsig if m > 0 else sig
+            F1 = f.defects(Z1)
+            theta0 = jnp.sum(jnp.abs(F))
+            theta1 = jnp.sum(jnp.abs(F1))
+            if m > 0:
+                g1 = f.ineqs(Z1)
+                theta0 = theta0 + jnp.sum(jnp.abs(g - sig))
+                theta1 = theta1 + jnp.sum(jnp.abs(g1 - sig1))
+            rnu_soc = -(a_pri * F + F1)
+            dz_c, nu_c, ok_c = solve_with_factors(fac, aux.rz_kkt, rnu_soc)
+            dz_c = dz_c * free
+            dsig_c, dw_c, dzl_c, dzu_c, a_p_c, a_d_c = dir_quants(dz_c)
+            m_soc = merit(Z + a_p_c * dz_c, sig + a_p_c * dsig_c)
+            m_ls = merit(Z + alpha * dz, sig + alpha * dsig)
+            trigger = ((alpha < a_pri) | (~accepted)) & (
+                theta1 >= opts.kappa_soc * theta0
+            )
+            use = (
+                trigger
+                & ok_c
+                & (m_soc <= m0 - 1e-12 * jnp.abs(m0))
+                & (m_soc < m_ls)
+            )
+            dz = jnp.where(use, dz_c, dz)
+            dlam = jnp.where(use, -nu_c, dlam)
+            dsig = jnp.where(use, dsig_c, dsig)
+            dw_ineq = jnp.where(use, dw_c, dw_ineq)
+            dzl = jnp.where(use, dzl_c, dzl)
+            dzu = jnp.where(use, dzu_c, dzu)
+            alpha = jnp.where(use, a_p_c, alpha)
+            a_dual = jnp.where(use, a_d_c, a_dual)
 
         # ---------------- updates (frozen when converged) ---------------- #
         upd = (~converged) & (~now_converged)
@@ -564,33 +662,49 @@ class InteriorPointSolver:
     def _solve_kkt_batched(self, kkt_in: _KKTIn, delta_w0):
         """Solve the whole batch's KKT systems, escalating per-instance
         primal regularization on factorization failure (Ipopt schedule:
-        try 0 first, then delta_last/3, then x8 per retry)."""
+        try 0 first, then delta_last/3, then x8 per retry).
+
+        Returns (dz, dlam, ok, dw_used, delta_w_new, fac) where fac is the
+        batched KKTFactors of the accepted factorization (None on the lanes
+        backend — SOC re-solves are an xla-backend feature for now)."""
         opts = self.options
         nlp = self.nlp
         H, C, A, Bj, rz, rnu = kkt_in
         Bt = H.shape[0]
         dtype = H.dtype
         eye_d = jnp.eye(nlp.d, dtype=dtype)
+        lanes = opts.kkt_backend == "lanes"
+        keep_fac = (not lanes) and opts.soc
+
+        def _bwhere(okv, old, new):
+            return jnp.where(okv.reshape((-1,) + (1,) * (old.ndim - 1)), old, new)
 
         def attempt(dw):
             Hreg = H + dw[:, None, None, None] * eye_d
-            if opts.kkt_backend == "lanes":
-                return solve_kkt_lanes(
+            if lanes:
+                dz, nu, ok = solve_kkt_lanes(
                     Hreg, C, A, Bj, rz, rnu, opts.delta_c,
                     interpret=jax.default_backend() != "tpu",
                 )
-            return jax.vmap(
-                lambda h, c, a, b, r1, r2: solve_kkt(
-                    h, c, a, b, r1, r2, opts.delta_c
-                )
-            )(Hreg, C, A, Bj, rz, rnu)
+                return dz, nu, ok, ()
+            fac = jax.vmap(
+                lambda h, c, a, b: factor_kkt(h, c, a, b, opts.delta_c)
+            )(Hreg, C, A, Bj)
+            dz, nu, ok = jax.vmap(solve_with_factors)(fac, rz, rnu)
+            # constraint blocks are dw-independent; carry only the factors
+            fac_carry = (
+                (fac.L_P, fac.L_S, fac.X_A, fac.G, fac.L_final)
+                if keep_fac
+                else ()
+            )
+            return dz, nu, ok, fac_carry
 
         def cond_fn(carry):
-            k, dw_try, dw_used, dz, nu, ok = carry
+            k, dw_try, dw_used, dz, nu, ok, facc = carry
             return (~ok.all()) & (k < 12)
 
         def body_fn(carry):
-            k, dw_try, dw_used, dz, nu, ok = carry
+            k, dw_try, dw_used, dz, nu, ok, facc = carry
             dw_next = jnp.where(
                 k == 0,
                 0.0,
@@ -604,36 +718,63 @@ class InteriorPointSolver:
                     jnp.minimum(dw_try * 8.0, opts.delta_w_max),
                 ),
             )
-            dz2, nu2, ok2 = attempt(dw_next)
+            dz2, nu2, ok2, facc2 = attempt(dw_next)
             # keep already-successful instances' results
             dz = jnp.where(ok[:, None, None], dz, dz2)
             nu = jnp.where(ok[:, None, None], nu, nu2)
+            facc = jax.tree_util.tree_map(
+                lambda old, new: _bwhere(ok, old, new), facc, facc2
+            )
             dw_used = jnp.where(ok, dw_used, dw_next)
-            return (k + 1, dw_next, dw_used, dz, nu, ok | ok2)
+            return (k + 1, dw_next, dw_used, dz, nu, ok | ok2, facc)
 
+        T, d, s = nlp.T, nlp.d, nlp.s
+        fac0 = (
+            (
+                jnp.zeros((Bt, T - 1, d, d), dtype),
+                jnp.zeros((Bt, T - 1, s, s), dtype),
+                jnp.zeros((Bt, T - 1, d, s), dtype),
+                jnp.zeros((Bt, T - 1, s, d), dtype),
+                jnp.zeros((Bt, d, d), dtype),
+            )
+            if keep_fac
+            else ()
+        )
         init = (
             jnp.zeros((), jnp.int32),
             jnp.zeros((Bt,), dtype),
             jnp.zeros((Bt,), dtype),
-            jnp.zeros((Bt, nlp.T, nlp.d), dtype),
-            jnp.zeros((Bt, nlp.T - 1, nlp.s), dtype),
+            jnp.zeros((Bt, T, d), dtype),
+            jnp.zeros((Bt, T - 1, s), dtype),
             jnp.zeros((Bt,), bool),
+            fac0,
         )
-        _, _, dw_used, dz, nu, ok = jax.lax.while_loop(
+        _, _, dw_used, dz, nu, ok, facc = jax.lax.while_loop(
             cond_fn, body_fn, init
         )
         delta_w_new = jnp.where(dw_used > 0, dw_used, delta_w0)
         dz = jnp.where(ok[:, None, None], dz, 0.0)
         dlam = -jnp.where(ok[:, None, None], nu, 0.0)
-        return dz, dlam, ok, dw_used, delta_w_new
+        fac = (
+            KKTFactors(facc[0], facc[1], facc[2], facc[3], facc[4], C, A, Bj)
+            if keep_fac
+            else None
+        )
+        return dz, dlam, ok, dw_used, delta_w_new, fac
 
     def _step_impl(self, state: IPMState) -> IPMState:
         kkt_in, aux = jax.vmap(self._iteration_pre)(state)
-        dz, dlam, ok, dw_used, delta_w_new = self._solve_kkt_batched(
+        dz, dlam, ok, dw_used, delta_w_new, fac = self._solve_kkt_batched(
             kkt_in, state.delta_w
         )
+        if fac is None:
+            return jax.vmap(
+                lambda st, au, a, b, c, d_, e: self._iteration_post(
+                    st, au, a, b, c, d_, e, None
+                )
+            )(state, aux, dz, dlam, ok, dw_used, delta_w_new)
         return jax.vmap(self._iteration_post)(
-            state, aux, dz, dlam, ok, dw_used, delta_w_new
+            state, aux, dz, dlam, ok, dw_used, delta_w_new, fac
         )
 
     # ------------------------------------------------------------------ #

@@ -90,8 +90,21 @@ def _chol_solve(Lm, Bm, n):
 
 
 def _mm(Am, Bm):
-    """(m, k, L) @ (k, n, L) -> (m, n, L) lanes matmul."""
-    return jnp.einsum("ikb,knb->inb", Am, Bm)
+    """(m, k, L) @ (k, n, L) -> (m, n, L) lanes matmul.
+
+    Static unroll into VPU multiply-adds: Mosaic's tpu.matmul requires batch
+    dims at position 0, but the lanes layout keeps the batch LAST (each
+    matrix entry is a 128-lane vector), so a dot_general here is
+    uncompilable on real TPUs — express the contraction elementwise instead.
+    """
+    k = Am.shape[1]
+    rows = []
+    for i in range(Am.shape[0]):
+        acc = Am[i, 0][None] * Bm[0]
+        for kk in range(1, k):
+            acc = acc + Am[i, kk][None] * Bm[kk]
+        rows.append(acc)
+    return jnp.stack(rows, axis=0)
 
 
 def _mt(Am):

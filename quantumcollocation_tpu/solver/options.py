@@ -35,6 +35,13 @@ class SolverOptions:
     # line search
     max_ls_iters: int = 10
     armijo_eta: float = 1e-4
+    # second-order correction (Ipopt step A-5.1): when the full step is
+    # rejected and constraint violation grew, re-solve the SAME KKT
+    # factorization with a corrected defect rhs and take that step if it
+    # wins on merit.  Reuses the factorization (triangular solves only).
+    # Supported by the "xla" KKT backend; ignored on "lanes".
+    soc: bool = False
+    kappa_soc: float = 0.99
     # dual recalculation (least-squares multiplier resets; the reference's
     # recalc_y knob, unitary_robustness_problem.jl:166)
     recalc_y: bool = False

@@ -11,7 +11,7 @@ from .initialization import (
     unitary_geodesic,
     unitary_linear_interpolation,
 )
-from .interpolation import DataInterpolation
+from .interpolation import DataInterpolation, resample_free_time
 from .directsums import add_suffix, get_suffix, merge, remove_suffix
 from .indexing import comp_slice_at, index, slice_at
 

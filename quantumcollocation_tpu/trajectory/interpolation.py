@@ -13,7 +13,7 @@ import numpy as np
 
 from .named_trajectory import NamedTrajectory
 
-__all__ = ["DataInterpolation"]
+__all__ = ["DataInterpolation", "resample_free_time"]
 
 
 class DataInterpolation:
@@ -80,3 +80,47 @@ class DataInterpolation:
             global_data=dict(traj.global_data),
         )
         return new
+
+
+def resample_free_time(
+    traj: NamedTrajectory,
+    *,
+    T: int | None = None,
+    timestep_name: str = "Δt",
+    dt_bounds=None,
+) -> NamedTrajectory:
+    """Warm-start helper for minimum-time chains: resample a solved
+    trajectory to ``T`` knots and promote the timestep to a decision
+    component (the reference's re-grid-then-minimize workflow,
+    /root/reference/src/problem_templates/unitary_minimum_time_problem.jl:151-171
+    with DataInterpolation, /root/reference/src/trajectory_interpolations.jl:69-72).
+
+    Works from either a fixed-time trajectory (adds the ``Δt`` component with
+    bounds, default (0.5, 1.5)×mean dt) or an already-free-time one (resamples
+    and keeps it).
+    """
+    new = DataInterpolation(traj)(T=T or traj.T)
+    if isinstance(new.timestep, str):
+        if new.timestep != timestep_name:
+            raise ValueError(
+                f"trajectory already has free timestep {new.timestep!r}"
+            )
+        return new
+
+    dt = float(new.timestep)
+    if dt_bounds is None:
+        dt_bounds = (0.5 * dt, 1.5 * dt)
+    comps = {name: np.asarray(new[name]) for name in new.names}
+    comps[timestep_name] = np.full((new.T, 1), dt)
+    bounds = dict(new.bounds)
+    bounds[timestep_name] = dt_bounds
+    return NamedTrajectory(
+        comps,
+        controls=new.controls,
+        timestep=timestep_name,
+        bounds=bounds,
+        initial=dict(new.initial),
+        final=dict(new.final),
+        goal=dict(new.goal),
+        global_data=dict(new.global_data),
+    )

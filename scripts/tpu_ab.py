@@ -5,7 +5,11 @@ Run on the real chip (one process, patient with the grant):
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

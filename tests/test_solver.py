@@ -12,6 +12,7 @@ from quantumcollocation_tpu.solver import (
     StageNLP,
     solve_kkt,
 )
+from quantumcollocation_tpu.solver.kkt import factor_kkt, solve_with_factors
 
 
 class TestKKT:
@@ -182,6 +183,57 @@ class TestIPM:
             callback=lambda k, st: seen.append(k) or True,
         )
         assert seen == list(range(len(seen))) and 1 <= len(seen) <= 10
+
+    def test_factor_resolve_matches_fused_solve(self):
+        # second-order corrections re-solve the SAME factorization with a
+        # new rhs; the split path must agree with the fused one exactly
+        rng = np.random.default_rng(3)
+        T, d, s = 6, 4, 2
+        H = np.stack([np.eye(d) * 3 + 0.1 * rng.normal(size=(d, d)) for _ in range(T)])
+        H = 0.5 * (H + H.transpose(0, 2, 1))
+        C = 0.1 * rng.normal(size=(T - 1, d, d))
+        A = rng.normal(size=(T - 1, s, d))
+        B = rng.normal(size=(T - 1, s, d))
+        fac = factor_kkt(
+            jnp.asarray(H), jnp.asarray(C), jnp.asarray(A), jnp.asarray(B), 1e-8
+        )
+        for seed in range(2):
+            r = np.random.default_rng(seed)
+            rz = jnp.asarray(r.normal(size=(T, d)))
+            rnu = jnp.asarray(r.normal(size=(T - 1, s)))
+            dz1, nu1, ok1 = solve_kkt(
+                jnp.asarray(H), jnp.asarray(C), jnp.asarray(A), jnp.asarray(B),
+                rz, rnu, 1e-8,
+            )
+            dz2, nu2, ok2 = solve_with_factors(fac, rz, rnu)
+            assert bool(ok1) and bool(ok2)
+            np.testing.assert_allclose(np.asarray(dz1), np.asarray(dz2), atol=1e-12)
+            np.testing.assert_allclose(np.asarray(nu1), np.asarray(nu2), atol=1e-12)
+
+    def test_soc_and_recalc_y_converge_to_same_optimum(self):
+        # enabling the second-order correction and the least-squares
+        # multiplier reset must not change the optimum of a well-posed
+        # problem (they only alter the path), and everything still converges
+        nlp = _double_integrator_nlp(u_bound=1.0, terminal_ineq=True)
+        base = InteriorPointSolver(nlp, SolverOptions(tol=1e-8))
+        res0 = base.solve(jnp.asarray(nlp.z0)[None], max_iter=80)
+        assert bool(res0.converged[0])
+
+        soc = InteriorPointSolver(nlp, SolverOptions(tol=1e-8, soc=True))
+        res1 = soc.solve(jnp.asarray(nlp.z0)[None], max_iter=80)
+        assert bool(res1.converged[0])
+        np.testing.assert_allclose(
+            np.asarray(res1.Z[0, -1, 0]), np.asarray(res0.Z[0, -1, 0]), atol=1e-5
+        )
+
+        ry = InteriorPointSolver(
+            nlp, SolverOptions(tol=1e-8, recalc_y=True, recalc_y_feas_tol=1e-4)
+        )
+        res2 = ry.solve(jnp.asarray(nlp.z0)[None], max_iter=80)
+        assert bool(res2.converged[0])
+        np.testing.assert_allclose(
+            np.asarray(res2.Z[0, -1, 0]), np.asarray(res0.Z[0, -1, 0]), atol=1e-5
+        )
 
     def test_matches_cvx_reference(self):
         # unconstrained quadratic: compare against direct dense QP solution

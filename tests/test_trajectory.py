@@ -250,6 +250,29 @@ class TestInterpolation:
             np.asarray(traj2["a"][-1]), np.asarray(traj["a"][-1]), atol=1e-9
         )
 
+    def test_resample_free_time(self):
+        # fixed-time -> free-time warm-start conversion for min-time chains
+        traj = _mk_traj(free_time=False)
+        assert not isinstance(traj.timestep, str)
+        ft = qct.resample_free_time(traj, T=13)
+        assert ft.T == 13
+        assert ft.timestep == "Δt"
+        assert "Δt" in ft.names and "Δt" in ft.control_names
+        # duration preserved by the resample
+        np.testing.assert_allclose(
+            float(ft.duration()), float(traj.duration()), rtol=1e-6
+        )
+        lo, hi = ft.bounds["Δt"]
+        dt0 = float(np.asarray(ft["Δt"])[0, 0])
+        assert float(np.min(lo)) < dt0 < float(np.max(hi))
+        # endpoint controls preserved
+        np.testing.assert_allclose(
+            np.asarray(ft["a"][0]), np.asarray(traj["a"][0]), atol=1e-9
+        )
+        # already-free-time trajectories resample cleanly
+        ft2 = qct.resample_free_time(ft, T=7)
+        assert ft2.timestep == "Δt" and ft2.T == 7
+
 
 class TestDirectSums:
     def test_add_suffix(self):
