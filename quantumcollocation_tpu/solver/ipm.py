@@ -31,6 +31,7 @@ import numpy as np
 
 from .kkt import KKTFactors, factor_kkt, solve_kkt, solve_with_factors
 from .kkt_lanes import solve_kkt_lanes
+from .lbfgs import lbfgs_compact, lbfgs_update
 from .options import SolverOptions
 from .stage_nlp import StageNLP, make_nlp_functions
 
@@ -58,6 +59,13 @@ class IPMState(NamedTuple):
     e_comp: Any = 0.0  # (B,)
     ls_k: Any = 0  # (B,) line-search backtracks used
     reg_dw: Any = 0.0  # (B,) delta_w used in the accepted factorization
+    # limited-memory BFGS state (None unless quasi_newton == "lbfgs"):
+    qn_S: Any = None  # (B, mem, T*d) step history (chronological)
+    qn_Y: Any = None  # (B, mem, T*d) Lagrangian-gradient differences
+    qn_sty: Any = None  # (B, mem) curvature products s_i^T y_i
+    qn_count: Any = None  # (B,) int32 valid pairs
+    qn_prevZ: Any = None  # (B, T, d) previous primal iterate
+    qn_sigma: Any = None  # (B,) B0 = sigma*I scaling
 
 
 class IPMResult(NamedTuple):
@@ -77,6 +85,10 @@ class _KKTIn(NamedTuple):
     B: Any
     rz: Any
     rnu: Any
+    # compact L-BFGS low-rank correction (None in exact/GN modes):
+    # the KKT zz-block is H_base - U M^{-1} U^T, applied by SMW
+    U: Any = None  # (T*d, 2*mem)
+    M: Any = None  # (2*mem, 2*mem)
 
 
 class _IterAux(NamedTuple):
@@ -96,6 +108,12 @@ class _IterAux(NamedTuple):
     now_converged: Any
     lam: Any  # effective equality multipliers (post-recalc_y reset)
     rz_kkt: Any  # the KKT z-row rhs (for second-order-correction re-solves)
+    # updated L-BFGS memory (written back to the state by _iteration_post)
+    qn_S: Any = None
+    qn_Y: Any = None
+    qn_sty: Any = None
+    qn_count: Any = None
+    qn_sigma: Any = None
 
 
 @dataclasses.dataclass(eq=False)  # identity hash: jit-static self
@@ -107,6 +125,15 @@ class InteriorPointSolver:
     exact_hessian: bool = True
 
     def __post_init__(self):
+        self.qn_lbfgs = (
+            not self.exact_hessian and self.options.quasi_newton == "lbfgs"
+        )
+        if self.qn_lbfgs and self.options.kkt_backend == "lanes":
+            raise ValueError(
+                "kkt_backend='lanes' supports exact/gauss-newton Hessians "
+                "only; use kkt_backend='xla' with quasi_newton='lbfgs' or "
+                "quasi_newton='gauss-newton' with lanes"
+            )
         nlp_raw = self.nlp
         self.var_scale = np.ones(nlp_raw.d)
         if self.options.nlp_scaling:
@@ -239,6 +266,19 @@ class InteriorPointSolver:
             lam0 = jax.vmap(ls_lam)(Z, w)
 
         zeros = jnp.zeros((B,), dtype)
+        if self.qn_lbfgs:
+            mem = self.options.lbfgs_memory
+            n = nlp.T * nlp.d
+            qn = dict(
+                qn_S=jnp.zeros((B, mem, n), dtype),
+                qn_Y=jnp.zeros((B, mem, n), dtype),
+                qn_sty=jnp.zeros((B, mem), dtype),
+                qn_count=jnp.zeros((B,), jnp.int32),
+                qn_prevZ=Z,  # first pair is s=0 -> skipped automatically
+                qn_sigma=jnp.ones((B,), dtype),
+            )
+        else:
+            qn = {}
         return IPMState(
             Z=Z,
             lam=lam0,
@@ -257,6 +297,7 @@ class InteriorPointSolver:
             e_comp=zeros,
             ls_k=jnp.zeros((B,), jnp.int32),
             reg_dw=zeros,
+            **qn,
         )
 
     # ------------------------------------------------------------------ #
@@ -373,7 +414,31 @@ class InteriorPointSolver:
         tau = jnp.maximum(opts.tau_min, 1.0 - mu)
 
         # ---------------- assemble condensed KKT blocks ---------------- #
-        H, C = f.hess_blocks(Z, lam, w)
+        if self.qn_lbfgs:
+            # limited-memory BFGS: insert the curvature pair from the last
+            # transition (same multipliers at both points, as Ipopt does for
+            # its limited-memory mode), then B = sigma*I - U M^{-1} U^T with
+            # the low-rank part applied via SMW in the KKT solve
+            y_vec = (
+                (gL - f.grad_lagrangian(state.qn_prevZ, lam, w)) * free
+            ).reshape(-1)
+            s_vec = ((Z - state.qn_prevZ) * free).reshape(-1)
+            qn_S, qn_Y, qn_sty, qn_count, sig_new, acc = lbfgs_update(
+                state.qn_S, state.qn_Y, state.qn_sty, state.qn_count,
+                s_vec, y_vec,
+            )
+            qn_sigma = jnp.where(
+                acc, jnp.clip(sig_new, 1e-8, 1e8), state.qn_sigma
+            )
+            U_lr, M_lr = lbfgs_compact(qn_S, qn_Y, qn_sty, qn_count, qn_sigma)
+            H = qn_sigma * jnp.broadcast_to(
+                jnp.eye(d, dtype=dtype), (T, d, d)
+            )
+            C = jnp.zeros((T - 1, d, d), dtype)
+        else:
+            H, C = f.hess_blocks(Z, lam, w)
+            qn_S = qn_Y = qn_sty = qn_count = qn_sigma = None
+            U_lr = M_lr = None
 
         Sig_l = jnp.where(has_lb > 0, zl / sl, 0.0)
         Sig_u = jnp.where(has_ub > 0, zu / su, 0.0)
@@ -403,7 +468,7 @@ class InteriorPointSolver:
             + jnp.where(has_ub > 0, mu / su, 0.0)
         ) * free
 
-        kkt_in = _KKTIn(H=H, C=C, A=A, B=Bj, rz=-r_z, rnu=-F)
+        kkt_in = _KKTIn(H=H, C=C, A=A, B=Bj, rz=-r_z, rnu=-F, U=U_lr, M=M_lr)
         aux = _IterAux(
             F=F,
             g=g,
@@ -421,6 +486,11 @@ class InteriorPointSolver:
             now_converged=now_converged,
             lam=lam,
             rz_kkt=-r_z,
+            qn_S=qn_S,
+            qn_Y=qn_Y,
+            qn_sty=qn_sty,
+            qn_count=qn_count,
+            qn_sigma=qn_sigma,
         )
         return kkt_in, aux
 
@@ -636,6 +706,19 @@ class InteriorPointSolver:
                 w,
             )
 
+        if self.qn_lbfgs:
+            # persist the memory updated in _iteration_pre; advance prevZ to
+            # the current iterate (the next pair spans this transition)
+            qn = dict(
+                qn_S=jnp.where(upd, aux.qn_S, state.qn_S),
+                qn_Y=jnp.where(upd, aux.qn_Y, state.qn_Y),
+                qn_sty=jnp.where(upd, aux.qn_sty, state.qn_sty),
+                qn_count=jnp.where(upd, aux.qn_count, state.qn_count),
+                qn_prevZ=jnp.where(upd, Z, state.qn_prevZ),
+                qn_sigma=jnp.where(upd, aux.qn_sigma, state.qn_sigma),
+            )
+        else:
+            qn = {}
         return IPMState(
             Z=Z_new,
             lam=lam_new,
@@ -654,6 +737,7 @@ class InteriorPointSolver:
             e_comp=aux.E_comp0,
             ls_k=k_ls,
             reg_dw=dw_used,
+            **qn,
         )
 
     # ------------------------------------------------------------------ #
@@ -669,15 +753,35 @@ class InteriorPointSolver:
         backend — SOC re-solves are an xla-backend feature for now)."""
         opts = self.options
         nlp = self.nlp
-        H, C, A, Bj, rz, rnu = kkt_in
+        H, C, A, Bj, rz, rnu = kkt_in[:6]
+        U_lr, M_lr = kkt_in.U, kkt_in.M
         Bt = H.shape[0]
         dtype = H.dtype
         eye_d = jnp.eye(nlp.d, dtype=dtype)
         lanes = opts.kkt_backend == "lanes"
-        keep_fac = (not lanes) and opts.soc
+        keep_fac = (not lanes) and opts.soc and not self.qn_lbfgs
 
         def _bwhere(okv, old, new):
             return jnp.where(okv.reshape((-1,) + (1,) * (old.ndim - 1)), old, new)
+
+        def _smw_solve(fac, rzi, rnui, Ui, Mi):
+            """Apply the L-BFGS low-rank KKT correction by SMW: the zz block
+            is H_base - U M^{-1} U^T, so
+            x = x0 - W (-M + U^T W_z)^{-1} U^T x0_z with W = K0^{-1} [U; 0].
+            Costs 2*mem extra triangular re-solves of the same factors."""
+            T, d, s = nlp.T, nlp.d, nlp.s
+            k2 = Ui.shape[1]
+            dz0, nu0, ok0 = solve_with_factors(fac, rzi, rnui)
+            RZ = Ui.reshape(T, d, k2)
+            RNU = jnp.zeros((T - 1, s, k2), Ui.dtype)
+            Wz, Wnu, okw = solve_with_factors(fac, RZ, RNU)
+            Wzf = Wz.reshape(T * d, k2)
+            Gm = -Mi + Ui.T @ Wzf
+            h = jnp.linalg.solve(Gm, Ui.T @ dz0.reshape(-1))
+            dz = dz0 - (Wzf @ h).reshape(T, d)
+            nu = nu0 - Wnu @ h
+            ok = ok0 & okw & jnp.all(jnp.isfinite(h))
+            return dz, nu, ok
 
         def attempt(dw):
             Hreg = H + dw[:, None, None, None] * eye_d
@@ -690,7 +794,10 @@ class InteriorPointSolver:
             fac = jax.vmap(
                 lambda h, c, a, b: factor_kkt(h, c, a, b, opts.delta_c)
             )(Hreg, C, A, Bj)
-            dz, nu, ok = jax.vmap(solve_with_factors)(fac, rz, rnu)
+            if self.qn_lbfgs:
+                dz, nu, ok = jax.vmap(_smw_solve)(fac, rz, rnu, U_lr, M_lr)
+            else:
+                dz, nu, ok = jax.vmap(solve_with_factors)(fac, rz, rnu)
             # constraint blocks are dw-independent; carry only the factors
             fac_carry = (
                 (fac.L_P, fac.L_S, fac.X_A, fac.G, fac.L_final)
@@ -781,6 +888,14 @@ class InteriorPointSolver:
     # public API
     # ------------------------------------------------------------------ #
     @partial(jax.jit, static_argnums=(0,))
+    def _init_state_jit(self, Z0):
+        # jit the initialization: eager execution would run the complex
+        # objective arithmetic op-by-op, which some TPU runtimes cannot
+        # transfer (complex h2d/d2h unimplemented); under jit it fuses into
+        # real-only compiled code
+        return self.init_state(Z0)
+
+    @partial(jax.jit, static_argnums=(0,))
     def step(self, state: IPMState) -> IPMState:
         """One batched IPM iteration."""
         # full f32 matmul precision: TPU default (bf16 passes) is not enough
@@ -799,7 +914,7 @@ class InteriorPointSolver:
         whole loop is a single lax.while_loop on device.
         """
         max_iter = max_iter or self.options.max_iter
-        state = self.init_state(Z0)
+        state = self._init_state_jit(jnp.asarray(Z0))
 
         if callback is not None:
             for k in range(max_iter):

@@ -46,6 +46,12 @@ class SolverOptions:
     # recalc_y knob, unitary_robustness_problem.jl:166)
     recalc_y: bool = False
     recalc_y_feas_tol: float = 1e-6
+    # quasi-Newton mode used when the problem requests eval_hessian=False:
+    # "lbfgs" (compact limited-memory BFGS + SMW low-rank KKT correction —
+    # Ipopt's hessian_approximation=limited-memory analog) or "gauss-newton"
+    # (drop defect curvature, keep exact cost Hessians)
+    quasi_newton: str = "lbfgs"
+    lbfgs_memory: int = 6
     # numerical type: None -> follow input dtype
     dtype: str | None = None
     # TPU matmul precision for solver arithmetic: "highest" (6-pass bf16,

@@ -235,6 +235,53 @@ class TestIPM:
             np.asarray(res2.Z[0, -1, 0]), np.asarray(res0.Z[0, -1, 0]), atol=1e-5
         )
 
+    def test_lbfgs_compact_secant_property(self):
+        # B = sigma*I - U M^{-1} U^T must satisfy the most recent secant
+        # equation B s = y (standard compact-form identity)
+        from quantumcollocation_tpu.solver.lbfgs import (
+            lbfgs_compact,
+            lbfgs_update,
+        )
+
+        rng = np.random.default_rng(0)
+        n, mem = 12, 4
+        S = jnp.zeros((mem, n))
+        Y = jnp.zeros((mem, n))
+        sty = jnp.zeros((mem,))
+        count = jnp.asarray(0, jnp.int32)
+        sigma = jnp.asarray(1.0)
+        Aspd = rng.normal(size=(n, n))
+        Aspd = Aspd @ Aspd.T + n * np.eye(n)  # SPD "true" Hessian
+        for _ in range(6):
+            s = jnp.asarray(rng.normal(size=n))
+            y = jnp.asarray(Aspd @ np.asarray(s))  # guarantees s^T y > 0
+            S, Y, sty, count, sig_new, acc = lbfgs_update(S, Y, sty, count, s, y)
+            assert bool(acc)
+            sigma = sig_new
+        U, M = lbfgs_compact(S, Y, sty, count, sigma)
+        Bmat = float(sigma) * np.eye(n) - np.asarray(
+            U @ jnp.linalg.solve(M, U.T)
+        )
+        np.testing.assert_allclose(Bmat @ np.asarray(S[-1]), np.asarray(Y[-1]), rtol=1e-8)
+        # SPD (curvature condition enforced by the skip rule)
+        assert np.all(np.linalg.eigvalsh(0.5 * (Bmat + Bmat.T)) > 0)
+
+    def test_lbfgs_mode_converges(self):
+        # quasi-Newton (Ipopt hessian_approximation=limited-memory analog):
+        # must reach the same optimum as the exact-Hessian mode
+        nlp = _double_integrator_nlp(u_bound=1.0)
+        ex = InteriorPointSolver(nlp, SolverOptions(tol=1e-7))
+        r0 = ex.solve(jnp.asarray(nlp.z0)[None], max_iter=100)
+        qn = InteriorPointSolver(
+            nlp, SolverOptions(tol=1e-5, quasi_newton="lbfgs"),
+            exact_hessian=False,
+        )
+        r1 = qn.solve(jnp.asarray(nlp.z0)[None], max_iter=300)
+        assert bool(r1.converged[0]), f"kkt={float(r1.kkt_err[0]):.2e}"
+        np.testing.assert_allclose(
+            np.asarray(r1.Z[0, -1, 0]), np.asarray(r0.Z[0, -1, 0]), atol=1e-3
+        )
+
     def test_matches_cvx_reference(self):
         # unconstrained quadratic: compare against direct dense QP solution
         nlp = _double_integrator_nlp(T=8)

@@ -82,6 +82,32 @@ class TestHadamard:
         assert np.all(norms <= 1.0 + 1e-6)
 
 
+class TestQuasiNewton:
+    def test_lbfgs_beats_gauss_newton(self):
+        # eval_hessian=False (the reference's quasi-Newton knob): the compact
+        # L-BFGS mode should reach markedly better rollout fidelity than the
+        # Gauss-Newton fallback within the same iteration budget
+        sys = _hadamard_system()
+        fids = {}
+        for qn in ("lbfgs", "gauss-newton"):
+            prob = qct.UnitarySmoothPulseProblem(
+                sys, qct.GATES["H"], 31, 0.2,
+                ipopt_options=qct.SolverOptions(
+                    print_level=1, tol=1e-6, quasi_newton=qn
+                ),
+                piccolo_options=qct.PiccoloOptions(
+                    verbose=False, eval_hessian=False, free_time=False
+                ),
+                rng=np.random.default_rng(0),
+            )
+            initial = float(qct.unitary_rollout_fidelity(prob.trajectory, sys))
+            prob.solve(max_iter=120)
+            fids[qn] = float(qct.unitary_rollout_fidelity(prob.trajectory, sys))
+            assert fids[qn] > initial
+        assert fids["lbfgs"] > fids["gauss-newton"]
+        assert fids["lbfgs"] > 0.99
+
+
 class TestEmbeddedOperator:
     def test_embedded_hadamard(self):
         a_op = qct.annihilate(3)
