@@ -294,6 +294,13 @@ class NamedTrajectory:
     def copy(self) -> "NamedTrajectory":
         return self.with_data(self.data)
 
+    def plot(self, names=None, *, path=None, **kwargs):
+        """Per-component subplots over time (the reference's NamedTrajectories
+        plot recipe, docs/literate/man/ipopt_callbacks.jl:61-64)."""
+        from ..utils.plotting import plot_trajectory
+
+        return plot_trajectory(self, names, path=path, **kwargs)
+
     def flatten(self):
         """The flat decision vector Z = [vec(data); globals] (datavec analog)."""
         parts = [self.data.reshape(*self.data.shape[:-2], -1)]

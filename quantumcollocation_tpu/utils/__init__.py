@@ -7,6 +7,7 @@ from .callbacks import (
 )
 from .serialization import load_trajectory, save_trajectory
 from .losses import expv, fidelity
+from .plotting import plot_trajectory
 
 __all__ = [
     "best_rollout_fidelity_callback",
@@ -16,4 +17,5 @@ __all__ = [
     "save_trajectory",
     "expv",
     "fidelity",
+    "plot_trajectory",
 ]

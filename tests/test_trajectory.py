@@ -273,6 +273,15 @@ class TestInterpolation:
         ft2 = qct.resample_free_time(ft, T=7)
         assert ft2.timestep == "Δt" and ft2.T == 7
 
+    def test_plot(self, tmp_path):
+        traj = _mk_traj()
+        out = tmp_path / "traj.png"
+        fig = traj.plot(path=str(out))
+        assert out.stat().st_size > 1000
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
 
 class TestDirectSums:
     def test_add_suffix(self):
