@@ -298,56 +298,59 @@ class QuantumControlProblem:
         T = traj.T
         z0 = np.asarray(self.initial_decision(1))[0]
         dts = np.asarray(traj.get_timesteps(), dtype=np.float64)
-        rows = []
-        for seed in range(n_seeds):
-            row = z0.copy()
-            a_sl = traj.comp_slice(self.control_name)
-            a = np.array(row[:, a_sl], dtype=np.float64)
-            if seed > 0:  # keep one clean seed
-                a[1:-1] += sigma * rng.standard_normal(a[1:-1].shape)
-                if self.control_name in traj.bounds:
-                    lo, hi = traj.bounds[self.control_name]
-                    a = np.clip(a, lo[None, :], hi[None, :])
-            row[:, a_sl] = a
+        a_sl = traj.comp_slice(self.control_name)
 
-            # derivative chains (x -> dx defects)
-            for ig in self.integrators:
-                if isinstance(ig, igs.DerivativeIntegrator):
-                    x_sl = traj.comp_slice(ig.x_name)
-                    dx_sl = traj.comp_slice(ig.dx_name)
-                    row[:, dx_sl] = np.asarray(
-                        _derivative(row[:, x_sl], dts)
-                    )
+        # all perturbed control banks at once (seed 0 stays clean)
+        rows = np.broadcast_to(z0, (n_seeds, *z0.shape)).copy()
+        a_all = np.array(rows[:, :, a_sl], dtype=np.float64)
+        a_all[1:, 1:-1] += sigma * rng.standard_normal(
+            a_all[1:, 1:-1].shape
+        )
+        if self.control_name in traj.bounds:
+            lo, hi = traj.bounds[self.control_name]
+            a_all = np.clip(a_all, lo[None, None, :], hi[None, None, :])
+        rows[:, :, a_sl] = a_all
 
-            # dynamics states rolled out under the perturbed controls
-            for ig in self.integrators:
-                if isinstance(
-                    ig,
-                    (igs.UnitaryExponentialIntegrator, igs.UnitaryPadeIntegrator),
-                ):
-                    s_sl = traj.comp_slice(ig.state_name)
-                    v0 = row[0, s_sl]
-                    row[:, s_sl] = np.asarray(
-                        unitary_rollout(v0, a, dts, ig.system)
-                    )
-                elif isinstance(
-                    ig,
-                    (
-                        igs.QuantumStateExponentialIntegrator,
-                        igs.QuantumStatePadeIntegrator,
-                    ),
-                ):
-                    s_sl = traj.comp_slice(ig.state_name)
-                    row[:, s_sl] = np.asarray(
-                        rollout(row[0, s_sl], a, dts, ig.system)
-                    )
-                elif isinstance(ig, igs.DensityOperatorExponentialIntegrator):
-                    s_sl = traj.comp_slice(ig.state_name)
-                    row[:, s_sl] = np.asarray(
-                        open_rollout(row[0, s_sl], a, dts, ig.system)
-                    )
-            rows.append(row)
-        return np.stack(rows)
+        # derivative chains (x -> dx defects); host numpy, batched over seeds
+        for ig in self.integrators:
+            if isinstance(ig, igs.DerivativeIntegrator):
+                x_sl = traj.comp_slice(ig.x_name)
+                dx_sl = traj.comp_slice(ig.dx_name)
+                x = rows[:, :, x_sl]
+                diff = (x[:, 1:] - x[:, :-1]) / dts[None, : T - 1, None]
+                rows[:, :, dx_sl] = np.concatenate(
+                    [diff, diff[:, -1:]], axis=1
+                )
+
+        # dynamics states rolled out under the perturbed controls — ONE
+        # jitted vmapped device call per integrator (a per-seed Python loop
+        # would pay a dispatch round trip per seed, which dominates on
+        # relayed TPU runtimes)
+        a_j = jnp.asarray(a_all)
+        for ig in self.integrators:
+            if isinstance(
+                ig,
+                (igs.UnitaryExponentialIntegrator, igs.UnitaryPadeIntegrator),
+            ):
+                roll, s_sl = unitary_rollout, traj.comp_slice(ig.state_name)
+            elif isinstance(
+                ig,
+                (
+                    igs.QuantumStateExponentialIntegrator,
+                    igs.QuantumStatePadeIntegrator,
+                ),
+            ):
+                roll, s_sl = rollout, traj.comp_slice(ig.state_name)
+            elif isinstance(ig, igs.DensityOperatorExponentialIntegrator):
+                roll, s_sl = open_rollout, traj.comp_slice(ig.state_name)
+            else:
+                continue
+            v0 = jnp.asarray(rows[0, 0, s_sl])
+            batched = jax.jit(
+                jax.vmap(lambda a: roll(v0, a, jnp.asarray(dts), ig.system))
+            )
+            rows[:, :, s_sl] = np.asarray(batched(a_j))
+        return rows
 
     def solve_multistart(
         self,
