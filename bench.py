@@ -39,7 +39,10 @@ def _f64_rollout_fidelity(a, dts, H_drift, H_drives, U_goal):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=512)
-    parser.add_argument("--iters", type=int, default=60)
+    # sweep-tuned (scripts/tpu_iters_sweep.py, v5e-1): 40 iters -> frac_ok
+    # ~0.95-0.96 at the best throughput; 50+ buys frac ~0.99 but loses ~15%
+    parser.add_argument("--iters", type=int, default=40)
+    parser.add_argument("--kappa-mu", dest="kappa_mu", type=float, default=0.1)
     parser.add_argument("--smoke", action="store_true")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("--repeats", type=int, default=3)
@@ -83,6 +86,7 @@ def main():
             tol=1e-5,
             matmul_precision=args.precision,
             kkt_backend=args.kkt_backend,
+            kappa_mu=args.kappa_mu,
         ),
         piccolo_options=qct.PiccoloOptions(verbose=False),
         rng=np.random.default_rng(0),

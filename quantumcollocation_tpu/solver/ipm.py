@@ -588,28 +588,44 @@ class InteriorPointSolver:
         # m0 reuses the already-evaluated residuals F, g
         m0 = merit_parts(f.total_cost(Z), F, g, Z, sig)
 
-        # Backtracking candidates a_pri * 0.5^k evaluated in PARALLEL (one
-        # batched merit sweep instead of a sequential while_loop whose trip
-        # count is the batch-wide worst case): pick the first candidate that
-        # meets the decrease test — identical selection to sequential
-        # backtracking, TPU-lockstep friendly.
-        ks = jnp.arange(opts.max_ls_iters)
-        cand = a_pri * (0.5 ** ks.astype(dtype))  # (K,)
-        mvals = jax.vmap(
-            lambda a: merit(Z + a * dz, sig + a * dsig)
-        )(cand)  # (K,)
-        mvals = jnp.where(jnp.isnan(mvals), jnp.inf, mvals)
-        goods = mvals <= m0 - 1e-12 * jnp.abs(m0)
-        first_good = jnp.argmax(goods)  # first True (0 if none)
-        accepted = jnp.any(goods)
-        k_ls = jnp.where(
-            accepted, first_good + 1, opts.max_ls_iters
-        ).astype(jnp.int32)
+        # Sequential backtracking with batch-wide early exit: under vmap the
+        # while_loop trip count is max-over-batch of the first accepted
+        # candidate, which is 1 for most iterations mid-run — measured FASTER
+        # on TPU than evaluating all K candidates in parallel (the batch
+        # almost always accepts the full step together).
+        def ls_cond2(carry):
+            k, alpha, accepted, best_a, best_m = carry
+            return (~accepted) & (k < opts.max_ls_iters)
+
+        def ls_body(carry):
+            k, alpha, accepted, best_a, best_m = carry
+            a = a_pri * (0.5**k)
+            mval = merit(Z + a * dz, sig + a * dsig)
+            good = mval <= m0 - 1e-12 * jnp.abs(m0)
+            better = mval < best_m
+            return (
+                k + 1,
+                jnp.where(good, a, alpha),
+                accepted | good,
+                jnp.where(better, a, best_a),
+                jnp.minimum(mval, best_m),
+            )
+
+        k_ls, alpha, accepted, best_a, best_m = jax.lax.while_loop(
+            ls_cond2,
+            ls_body,
+            (
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((), dtype),
+                jnp.zeros((), bool),
+                jnp.zeros((), dtype),
+                jnp.asarray(jnp.inf, dtype),
+            ),
+        )
         # if no candidate met the decrease test, fall back to the candidate
         # with the best merit among those tried (restoration-phase analog;
         # prevents the stall of repeatedly taking a fixed tiny step)
-        best_a = cand[jnp.argmin(mvals)]
-        alpha = jnp.where(accepted, cand[first_good], best_a)
+        alpha = jnp.where(accepted, alpha, best_a)
         alpha = jnp.where(ok, alpha, 0.0)
 
         # ---------------- second-order correction ---------------- #

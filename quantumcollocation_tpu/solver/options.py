@@ -43,7 +43,8 @@ class SolverOptions:
     soc: bool = False
     kappa_soc: float = 0.99
     # dual recalculation (least-squares multiplier resets; the reference's
-    # recalc_y knob, unitary_robustness_problem.jl:166)
+    # recalc_y knob, unitary_robustness_problem.jl:166 — Ipopt spells it
+    # "yes"/"no", accepted here alongside bools)
     recalc_y: bool = False
     recalc_y_feas_tol: float = 1e-6
     # quasi-Newton mode used when the problem requests eval_hessian=False:
@@ -64,6 +65,10 @@ class SolverOptions:
     # KKT factorization backend: "xla" (vmapped small linear algebra) or
     # "lanes" (Pallas batch-across-lanes kernels; TPU-optimized layout)
     kkt_backend: str = "xla"
+
+    def __post_init__(self):
+        if isinstance(self.recalc_y, str):
+            self.recalc_y = self.recalc_y.lower() in ("yes", "true", "on")
 
     def replace(self, **kwargs):
         return dataclasses.replace(self, **kwargs)
