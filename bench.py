@@ -47,6 +47,11 @@ def main():
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--precision", type=str, default="highest")
+    parser.add_argument(
+        "--eval-precision", dest="eval_precision", type=str, default=None,
+        help="precision for NLP function/derivative evaluation "
+        "(default: follow --precision)",
+    )
     # default: Pallas lanes kernels on TPU (measured ~8-16x faster than the
     # vmapped-XLA path for this KKT size), XLA path on CPU (lanes would run
     # in the slow Pallas interpreter there)
@@ -85,6 +90,7 @@ def main():
             print_level=1,
             tol=1e-5,
             matmul_precision=args.precision,
+            eval_precision=args.eval_precision,
             kkt_backend=args.kkt_backend,
             kappa_mu=args.kappa_mu,
         ),

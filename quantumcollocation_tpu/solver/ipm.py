@@ -326,10 +326,14 @@ class InteriorPointSolver:
         su = jnp.where(has_ub > 0, ub - Z, 1.0)
 
         # ---------------- residuals & KKT error ---------------- #
-        F = f.defects(Z)  # (T-1, s)
-        g = f.ineqs(Z)  # (T, m)
-        # constraint Jacobian blocks (also feed the dual recalculation)
-        A, Bj, Jg = f.jac_blocks(Z)
+        # precision ladder: function/derivative evaluation may run at fewer
+        # bf16 passes than the factorization (docs/roadmap.md, TPU section)
+        eval_prec = opts.eval_precision or opts.matmul_precision
+        with jax.default_matmul_precision(eval_prec):
+            F = f.defects(Z)  # (T-1, s)
+            g = f.ineqs(Z)  # (T, m)
+            # constraint Jacobian blocks (also feed the dual recalculation)
+            A, Bj, Jg = f.jac_blocks(Z)
 
         E_pr_raw = jnp.max(jnp.abs(F))
         if m > 0:
@@ -372,7 +376,8 @@ class InteriorPointSolver:
             )
             lam = jnp.where(good, nu_ls, lam)
 
-        gL = f.grad_lagrangian(Z, lam, w)  # grad phi - J_F^T lam - J_g^T w
+        with jax.default_matmul_precision(eval_prec):
+            gL = f.grad_lagrangian(Z, lam, w)  # grad phi - J^T lam - Jg^T w
         r_dual = (gL - has_lb * zl + has_ub * zu) * free
 
         n_duals = (T - 1) * s + T * m + int(self._has_lb.sum() + self._has_ub.sum())
@@ -414,31 +419,35 @@ class InteriorPointSolver:
         tau = jnp.maximum(opts.tau_min, 1.0 - mu)
 
         # ---------------- assemble condensed KKT blocks ---------------- #
-        if self.qn_lbfgs:
-            # limited-memory BFGS: insert the curvature pair from the last
-            # transition (same multipliers at both points, as Ipopt does for
-            # its limited-memory mode), then B = sigma*I - U M^{-1} U^T with
-            # the low-rank part applied via SMW in the KKT solve
-            y_vec = (
-                (gL - f.grad_lagrangian(state.qn_prevZ, lam, w)) * free
-            ).reshape(-1)
-            s_vec = ((Z - state.qn_prevZ) * free).reshape(-1)
-            qn_S, qn_Y, qn_sty, qn_count, sig_new, acc = lbfgs_update(
-                state.qn_S, state.qn_Y, state.qn_sty, state.qn_count,
-                s_vec, y_vec,
-            )
-            qn_sigma = jnp.where(
-                acc, jnp.clip(sig_new, 1e-8, 1e8), state.qn_sigma
-            )
-            U_lr, M_lr = lbfgs_compact(qn_S, qn_Y, qn_sty, qn_count, qn_sigma)
-            H = qn_sigma * jnp.broadcast_to(
-                jnp.eye(d, dtype=dtype), (T, d, d)
-            )
-            C = jnp.zeros((T - 1, d, d), dtype)
-        else:
-            H, C = f.hess_blocks(Z, lam, w)
-            qn_S = qn_Y = qn_sty = qn_count = qn_sigma = None
-            U_lr = M_lr = None
+        with jax.default_matmul_precision(eval_prec):
+            if self.qn_lbfgs:
+                # limited-memory BFGS: insert the curvature pair from the
+                # last transition (same multipliers at both points, as Ipopt
+                # does for its limited-memory mode), then
+                # B = sigma*I - U M^{-1} U^T with the low-rank part applied
+                # by SMW in the KKT solve
+                y_vec = (
+                    (gL - f.grad_lagrangian(state.qn_prevZ, lam, w)) * free
+                ).reshape(-1)
+                s_vec = ((Z - state.qn_prevZ) * free).reshape(-1)
+                qn_S, qn_Y, qn_sty, qn_count, sig_new, acc = lbfgs_update(
+                    state.qn_S, state.qn_Y, state.qn_sty, state.qn_count,
+                    s_vec, y_vec,
+                )
+                qn_sigma = jnp.where(
+                    acc, jnp.clip(sig_new, 1e-8, 1e8), state.qn_sigma
+                )
+                U_lr, M_lr = lbfgs_compact(
+                    qn_S, qn_Y, qn_sty, qn_count, qn_sigma
+                )
+                H = qn_sigma * jnp.broadcast_to(
+                    jnp.eye(d, dtype=dtype), (T, d, d)
+                )
+                C = jnp.zeros((T - 1, d, d), dtype)
+            else:
+                H, C = f.hess_blocks(Z, lam, w)
+                qn_S = qn_Y = qn_sty = qn_count = qn_sigma = None
+                U_lr = M_lr = None
 
         Sig_l = jnp.where(has_lb > 0, zl / sl, 0.0)
         Sig_u = jnp.where(has_ub > 0, zu / su, 0.0)
@@ -580,13 +589,17 @@ class InteriorPointSolver:
                 infeas += jnp.sum(jnp.abs(gv - sigc))
             return val - mu * barrier + nu_pen * infeas
 
+        eval_prec = opts.eval_precision or opts.matmul_precision
+
         def merit(Zc, sigc):
-            return merit_parts(
-                f.total_cost(Zc), f.defects(Zc), f.ineqs(Zc), Zc, sigc
-            )
+            with jax.default_matmul_precision(eval_prec):
+                return merit_parts(
+                    f.total_cost(Zc), f.defects(Zc), f.ineqs(Zc), Zc, sigc
+                )
 
         # m0 reuses the already-evaluated residuals F, g
-        m0 = merit_parts(f.total_cost(Z), F, g, Z, sig)
+        with jax.default_matmul_precision(eval_prec):
+            m0 = merit_parts(f.total_cost(Z), F, g, Z, sig)
 
         # Sequential backtracking with batch-wide early exit: under vmap the
         # while_loop trip count is max-over-batch of the first accepted
@@ -637,11 +650,12 @@ class InteriorPointSolver:
         if opts.soc and fac is not None:
             Z1 = Z + a_pri * dz
             sig1 = sig + a_pri * dsig if m > 0 else sig
-            F1 = f.defects(Z1)
+            with jax.default_matmul_precision(eval_prec):
+                F1 = f.defects(Z1)
+                g1 = f.ineqs(Z1) if m > 0 else None
             theta0 = jnp.sum(jnp.abs(F))
             theta1 = jnp.sum(jnp.abs(F1))
             if m > 0:
-                g1 = f.ineqs(Z1)
                 theta0 = theta0 + jnp.sum(jnp.abs(g - sig))
                 theta1 = theta1 + jnp.sum(jnp.abs(g1 - sig1))
             rnu_soc = -(a_pri * F + F1)

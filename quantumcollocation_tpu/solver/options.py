@@ -59,6 +59,10 @@ class SolverOptions:
     # full f32 accuracy), "high" (3-pass), or "default" (fast, bf16-ish —
     # insufficient for tight KKT tolerances)
     matmul_precision: str = "highest"
+    # precision ladder: NLP function/derivative evaluation (defects,
+    # Jacobians, Hessians, merit) may run at a lower pass count than the KKT
+    # factorization; None -> follow matmul_precision
+    eval_precision: str | None = None
     # Ipopt-style gradient-based objective/constraint scaling plus
     # Jacobian-column variable scaling, computed once at the initial point
     nlp_scaling: bool = True

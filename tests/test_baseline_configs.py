@@ -1,11 +1,15 @@
 """BASELINE.json canonical configs as regression tests.
 
-Configs (BASELINE.json):
+Configs (BASELINE.json / BASELINE.md):
   #1 single-qubit Hadamard T=51 dt=0.2  (covered by test_unitary_smooth_pulse)
   #2 minimum-time with fidelity floor    (covered by test_problem_templates)
   #3 two-qubit CNOT smooth pulse (4x4 unitary, cross-resonance-style drives)
   #4 transmon-with-leakage gate synthesis (3-level template + leakage
      suppression objective)
+  #5 two-transmon embedded CZ (the reference's robustness-problem canonical
+     config, /root/reference/src/problem_templates/
+     unitary_robustness_problem.jl:184-207: 2x 3-level transmons, dipole
+     coupling, CZ on the qubit subspace)
 """
 
 import numpy as np
@@ -45,6 +49,39 @@ class TestTwoQubitCNOT:
         final = float(qct.unitary_rollout_fidelity(prob.trajectory, sys))
         assert final > initial
         assert final > 0.9
+
+
+class TestTwoTransmonEmbeddedCZ:
+    def test_embedded_cz_synthesis(self):
+        # the reference's robustness canonical config, scaled to CI size
+        # (T=75 dt=1.0 upstream; T=25 here — the embedded-subspace machinery
+        # and the composite dims are what the config exercises)
+        sys = qct.MultiTransmonSystem(
+            omegas=[4.0, 4.5],
+            deltas=[0.2, 0.2],
+            gs=[[0.0, 0.01], [0.01, 0.0]],
+            levels_per_transmon=3,
+        )
+        U_goal = qct.EmbeddedOperator(qct.GATES["CZ"], sys)
+        prob = qct.UnitarySmoothPulseProblem(
+            sys, U_goal, 25, 1.0,
+            a_bound=0.1,
+            ipopt_options=TOL,
+            piccolo_options=qct.PiccoloOptions(verbose=False),
+            rng=np.random.default_rng(5),
+        )
+        initial = float(
+            qct.unitary_rollout_fidelity(
+                prob.trajectory, sys, subspace=U_goal.subspace
+            )
+        )
+        prob.solve(max_iter=25)
+        final = float(
+            qct.unitary_rollout_fidelity(
+                prob.trajectory, sys, subspace=U_goal.subspace
+            )
+        )
+        assert final > initial
 
 
 class TestTransmonLeakage:
