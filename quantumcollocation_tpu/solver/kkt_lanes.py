@@ -5,12 +5,19 @@ On TPU these tiny ops cannot tile the MXU/VPU — measured throughput scales
 LINEARLY in batch (dispatch-bound, chip ~idle).  The fix is the
 batch-across-lanes layout: every matrix ENTRY is a 128-lane vector of batch
 instances, so a Cholesky column update or a matmul inner product is a full
-VPU op on 128 instances at once.  One fused Pallas kernel per scan step
-replaces ~10 badly-laid-out XLA ops.
+VPU op on 128 instances at once.
+
+Two implementations share the same lanes linear algebra:
+  - the FUSED path (default): ONE pallas_call per elimination sweep — the
+    grid is (batch tiles, knots), the Riccati carry lives in VMEM scratch,
+    and the per-knot blocks are DMA-pipelined automatically.  Replaces
+    ~2(T-1) kernel launches per solve with 2.
+  - the per-step scan path (kept for cross-validation): a lax.scan whose
+    body is one Pallas kernel per knot.
 
 All matrix-index loops are static Python unrolls (d, s <= ~40), producing a
-few hundred vector ops per kernel — friendly to Mosaic.  The scan over knots
-stays a lax.scan; arrays are transposed to (..., lanes) once per solve.
+few hundred vector ops per kernel — friendly to Mosaic.  Arrays are
+transposed to (..., lanes) once per solve.
 
 Numerics match kkt.py exactly (same elimination); validated in interpret
 mode against the XLA path and dense solves.
@@ -23,8 +30,9 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["solve_kkt_lanes"]
+__all__ = ["solve_kkt_lanes", "solve_kkt_lanes_scan"]
 
 _L = 128  # lane tile
 
@@ -234,21 +242,13 @@ def _make_bwd_step(d, s, interpret):
 
 
 # --------------------------------------------------------------------------- #
-# full solve
+# layout helpers
 # --------------------------------------------------------------------------- #
 
 
-@functools.partial(jax.jit, static_argnames=("delta_c", "interpret"))
-def solve_kkt_lanes(H, C, A, B, rz, rnu, delta_c: float, *, interpret: bool = False):
-    """Batched block-tridiagonal KKT solve in lanes layout.
-
-    Inputs in standard batch-first layout: H (Bt, T, d, d), C (Bt, T-1, d, d),
-    A/B (Bt, T-1, s, d), rz (Bt, T, d), rnu (Bt, T-1, s).  The batch is
-    padded to a multiple of 128 internally.  Returns (dz, nu, ok) matching
-    solver.kkt.solve_kkt vmapped over the batch.
-    """
+def _to_lanes(H, C, A, B, rz, rnu):
+    """batch-first -> lanes layout (T, rows, cols, Bp), batch padded to 128."""
     Bt, T, d, _ = H.shape
-    s = A.shape[2]
     Bp = ((Bt + _L - 1) // _L) * _L
 
     def pad(x):
@@ -267,7 +267,6 @@ def solve_kkt_lanes(H, C, A, B, rz, rnu, delta_c: float, *, interpret: bool = Fa
     Cp, Ap, Bjp = pad(C), pad(A), pad(B)
     rzp, rnup = pad(rz), pad(rnu)
 
-    # lanes layout: (T, rows, cols, B)
     def lanes(x):
         return jnp.moveaxis(x, 0, -1)
 
@@ -277,6 +276,214 @@ def solve_kkt_lanes(H, C, A, B, rz, rnu, delta_c: float, *, interpret: bool = Fa
     Bl = lanes(Bjp)
     rzl = lanes(rzp)[..., None, :]  # (T, d, 1, Bp)
     rnul = lanes(rnup)[..., None, :]  # (T-1, s, 1, Bp)
+    return Hl, Cl, Al, Bl, rzl, rnul, Bt
+
+
+# --------------------------------------------------------------------------- #
+# fused full-sweep kernels (one pallas_call per elimination direction)
+# --------------------------------------------------------------------------- #
+
+
+def _fwd_sweep_kernel(
+    H_ref, C_ref, A_ref, B_ref, rz_ref, rnu_ref,
+    LP_ref, LS_ref, XA_ref, qs_ref, Dfin_ref, qdfin_ref,
+    Pd, qd,
+    *, d: int, s: int, delta_c: float, Tm1: int,
+):
+    """One forward-elimination step per grid iteration; the Riccati carry is
+    held as a DELTA in VMEM scratch so step t consumes only knot-t blocks:
+        P_t = H_t + Delta_t,   Delta_0 = 0.
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        Pd[...] = jnp.zeros_like(Pd)
+        qd[...] = jnp.zeros_like(qd)
+
+    P = H_ref[0] + Pd[...]
+    q = rz_ref[0] + qd[...]
+    C = C_ref[0]
+    A = A_ref[0]
+    Bm = B_ref[0]
+
+    LP = _chol(P, d)
+    XA = _chol_solve(LP, _mt(A), d)  # (d, s, L)
+    XC = _chol_solve(LP, C, d)  # (d, d, L)
+    x = _chol_solve(LP, q, d)  # (d, 1, L)
+
+    S = _mm(A, XA) + delta_c * jnp.eye(s, dtype=P.dtype)[:, :, None]
+    LS = _chol(S, s)
+    G = _mm(A, XC) - Bm  # (s, d, L)
+    y = _chol_solve(LS, _mm(A, x) - rnu_ref[0], s)
+    SG = _chol_solve(LS, G, s)
+
+    Dn = _mm(_mt(G), SG) - _mm(_mt(C), XC)
+    Pd[...] = 0.5 * (Dn + _mt(Dn))
+    qd[...] = _mm(_mt(G), y) - _mm(_mt(C), x)
+
+    LP_ref[0] = LP
+    LS_ref[0] = LS
+    XA_ref[0] = XA
+    qs_ref[0] = q
+
+    @pl.when(t == Tm1 - 1)
+    def _():
+        Dfin_ref[...] = Pd[...]
+        qdfin_ref[...] = qd[...]
+
+
+def _bwd_sweep_kernel(
+    LP_ref, LS_ref, XA_ref, qs_ref, C_ref, A_ref, B_ref, rnu_ref, dzl_ref,
+    dz_ref, nu_ref,
+    dzn,
+    *, d: int, s: int,
+):
+    """One backward-substitution step per grid iteration (time reversed via
+    the BlockSpec index maps); dz_{t+1} carried in VMEM scratch."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dzn[...] = dzl_ref[...]
+
+    dz_next = dzn[...]
+    u = qs_ref[0] - _mm(C_ref[0], dz_next)
+    v = rnu_ref[0] - _mm(B_ref[0], dz_next)
+    x = _chol_solve(LP_ref[0], u, d)
+    y = _chol_solve(LS_ref[0], _mm(A_ref[0], x) - v, s)
+    dz_t = x - _mm(XA_ref[0], y)
+    dzn[...] = dz_t
+    dz_ref[0] = dz_t
+    nu_ref[0] = y
+
+
+@functools.partial(jax.jit, static_argnames=("delta_c", "interpret"))
+def solve_kkt_lanes(H, C, A, B, rz, rnu, delta_c: float, *, interpret: bool = False):
+    """Batched block-tridiagonal KKT solve in lanes layout (fused sweeps).
+
+    Inputs in standard batch-first layout: H (Bt, T, d, d), C (Bt, T-1, d, d),
+    A/B (Bt, T-1, s, d), rz (Bt, T, d), rnu (Bt, T-1, s).  The batch is
+    padded to a multiple of 128 internally.  Returns (dz, nu, ok) matching
+    solver.kkt.solve_kkt vmapped over the batch.
+    """
+    Bt, T, d, _ = H.shape
+    s = A.shape[2]
+    Hl, Cl, Al, Bl, rzl, rnul, _ = _to_lanes(H, C, A, B, rz, rnu)
+    Bp = Hl.shape[-1]
+    nb = Bp // _L
+    Tm1 = T - 1
+    dtype = Hl.dtype
+
+    def spec_t(*rowcol):
+        # per-knot block, forward order
+        return pl.BlockSpec(
+            (1, *rowcol, _L), lambda b, t: (t, *(0,) * len(rowcol), b)
+        )
+
+    def spec_fix(*rowcol):
+        # knot-independent block (revisited across t)
+        return pl.BlockSpec(
+            (*rowcol, _L), lambda b, t: (*(0,) * len(rowcol), b)
+        )
+
+    fwd_kernel = functools.partial(
+        _fwd_sweep_kernel, d=d, s=s, delta_c=float(delta_c), Tm1=Tm1
+    )
+    LPs, LSs, XAs, qs, Dfin, qdfin = pl.pallas_call(
+        fwd_kernel,
+        grid=(nb, Tm1),
+        in_specs=[
+            spec_t(d, d),  # H_t (t = 0..T-2)
+            spec_t(d, d),  # C_t
+            spec_t(s, d),  # A_t
+            spec_t(s, d),  # B_t
+            spec_t(d, 1),  # rz_t
+            spec_t(s, 1),  # rnu_t
+        ],
+        out_specs=[
+            spec_t(d, d),  # LP
+            spec_t(s, s),  # LS
+            spec_t(d, s),  # XA
+            spec_t(d, 1),  # q saved
+            spec_fix(d, d),  # Delta_final
+            spec_fix(d, 1),  # qdelta_final
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tm1, d, d, Bp), dtype),
+            jax.ShapeDtypeStruct((Tm1, s, s, Bp), dtype),
+            jax.ShapeDtypeStruct((Tm1, d, s, Bp), dtype),
+            jax.ShapeDtypeStruct((Tm1, d, 1, Bp), dtype),
+            jax.ShapeDtypeStruct((d, d, Bp), dtype),
+            jax.ShapeDtypeStruct((d, 1, Bp), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, d, _L), dtype),
+            pltpu.VMEM((d, 1, _L), dtype),
+        ],
+        interpret=interpret,
+    )(Hl[:Tm1], Cl, Al, Bl, rzl[:Tm1], rnul)
+
+    # terminal block: P_fin = H_{T-1} + Delta, solve for dz_{T-1}
+    P_fin = Hl[Tm1] + Dfin
+    P_fin = 0.5 * (P_fin + _mt(P_fin))
+    q_fin = rzl[Tm1] + qdfin
+    LPf = _chol(P_fin, d)
+    dz_last = _chol_solve(LPf, q_fin, d)
+
+    def rspec_t(*rowcol):
+        # per-knot block, REVERSED order (grid step t touches knot T-2-t)
+        return pl.BlockSpec(
+            (1, *rowcol, _L),
+            lambda b, t: (Tm1 - 1 - t, *(0,) * len(rowcol), b),
+        )
+
+    bwd_kernel = functools.partial(_bwd_sweep_kernel, d=d, s=s)
+    dz_rest, nus = pl.pallas_call(
+        bwd_kernel,
+        grid=(nb, Tm1),
+        in_specs=[
+            rspec_t(d, d),  # LP
+            rspec_t(s, s),  # LS
+            rspec_t(d, s),  # XA
+            rspec_t(d, 1),  # q saved
+            rspec_t(d, d),  # C
+            rspec_t(s, d),  # A
+            rspec_t(s, d),  # B
+            rspec_t(s, 1),  # rnu
+            spec_fix(d, 1),  # dz_last
+        ],
+        out_specs=[rspec_t(d, 1), rspec_t(s, 1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tm1, d, 1, Bp), dtype),
+            jax.ShapeDtypeStruct((Tm1, s, 1, Bp), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((d, 1, _L), dtype)],
+        interpret=interpret,
+    )(LPs, LSs, XAs, qs, Cl, Al, Bl, rnul, dz_last)
+
+    dz_l = jnp.concatenate([dz_rest, dz_last[None]], axis=0)  # (T, d, 1, Bp)
+    dz = jnp.moveaxis(dz_l[:, :, 0, :], -1, 0)[:Bt]  # (Bt, T, d)
+    nu = jnp.moveaxis(nus[:, :, 0, :], -1, 0)[:Bt]  # (Bt, T-1, s)
+    ok = jnp.isfinite(dz).all(axis=(1, 2)) & jnp.isfinite(nu).all(axis=(1, 2))
+    return dz, nu, ok
+
+
+# --------------------------------------------------------------------------- #
+# per-step scan solve (cross-validation / fallback)
+# --------------------------------------------------------------------------- #
+
+
+@functools.partial(jax.jit, static_argnames=("delta_c", "interpret"))
+def solve_kkt_lanes_scan(
+    H, C, A, B, rz, rnu, delta_c: float, *, interpret: bool = False
+):
+    """Per-knot-kernel variant of solve_kkt_lanes (lax.scan over knots;
+    ~2(T-1) kernel launches per solve).  Same numerics; kept as a
+    cross-validation reference and fallback."""
+    Bt, T, d, _ = H.shape
+    s = A.shape[2]
+    Hl, Cl, Al, Bl, rzl, rnul, _ = _to_lanes(H, C, A, B, rz, rnu)
 
     fwd = _make_fwd_step(d, s, float(delta_c), interpret)
     bwd = _make_bwd_step(d, s, interpret)

@@ -6,7 +6,10 @@ import numpy as np
 
 import quantumcollocation_tpu as qct
 from quantumcollocation_tpu.solver.kkt import solve_kkt
-from quantumcollocation_tpu.solver.kkt_lanes import solve_kkt_lanes
+from quantumcollocation_tpu.solver.kkt_lanes import (
+    solve_kkt_lanes,
+    solve_kkt_lanes_scan,
+)
 
 
 def _random_kkt(Bt=5, T=6, d=5, s=3, seed=0):
@@ -47,6 +50,29 @@ class TestLanesKKT:
         np.testing.assert_allclose(
             np.asarray(nu), np.asarray(nu_ref), atol=1e-10
         )
+
+    def test_fused_matches_scan_variant(self):
+        # the fused grid-swept kernels and the per-knot-kernel scan must
+        # agree exactly (same elimination, same lanes arithmetic)
+        H, C, A, B, rz, rnu = _random_kkt(Bt=4, T=7, seed=3)
+        args = [jnp.asarray(x) for x in (H, C, A, B, rz, rnu)]
+        dz1, nu1, ok1 = solve_kkt_lanes(*args, 1e-8, interpret=True)
+        dz2, nu2, ok2 = solve_kkt_lanes_scan(*args, 1e-8, interpret=True)
+        assert bool(ok1.all()) and bool(ok2.all())
+        np.testing.assert_allclose(np.asarray(dz1), np.asarray(dz2), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(nu1), np.asarray(nu2), atol=1e-12)
+
+    def test_short_horizon(self):
+        # T=2: a single elimination step (init and final write coincide)
+        H, C, A, B, rz, rnu = _random_kkt(Bt=2, T=2, seed=4)
+        args = [jnp.asarray(x) for x in (H, C, A, B, rz, rnu)]
+        dz, nu, ok = solve_kkt_lanes(*args, 1e-8, interpret=True)
+        dz_ref, nu_ref, _ = jax.vmap(
+            lambda h, c, a, b, r1, r2: solve_kkt(h, c, a, b, r1, r2, 1e-8)
+        )(*args)
+        assert bool(ok.all())
+        np.testing.assert_allclose(np.asarray(dz), np.asarray(dz_ref), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(nu), np.asarray(nu_ref), atol=1e-10)
 
     def test_batch_padding(self):
         # batch 3 pads to 128 lanes internally
