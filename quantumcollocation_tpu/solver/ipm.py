@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .kkt import KKTFactors, factor_kkt, solve_kkt, solve_with_factors
-from .kkt_lanes import solve_kkt_lanes
+from .kkt_lanes import solve_kkt_lanes, solve_kkt_lanes_scan
 from .lbfgs import lbfgs_compact, lbfgs_update
 from .options import SolverOptions
 from .stage_nlp import StageNLP, make_nlp_functions
@@ -128,7 +128,7 @@ class InteriorPointSolver:
         self.qn_lbfgs = (
             not self.exact_hessian and self.options.quasi_newton == "lbfgs"
         )
-        if self.qn_lbfgs and self.options.kkt_backend == "lanes":
+        if self.qn_lbfgs and self.options.kkt_backend.startswith("lanes"):
             raise ValueError(
                 "kkt_backend='lanes' supports exact/gauss-newton Hessians "
                 "only; use kkt_backend='xla' with quasi_newton='lbfgs' or "
@@ -777,7 +777,12 @@ class InteriorPointSolver:
         Bt = H.shape[0]
         dtype = H.dtype
         eye_d = jnp.eye(nlp.d, dtype=dtype)
-        lanes = opts.kkt_backend == "lanes"
+        lanes = opts.kkt_backend in ("lanes", "lanes_scan")
+        lanes_fn = (
+            solve_kkt_lanes_scan
+            if opts.kkt_backend == "lanes_scan"
+            else solve_kkt_lanes
+        )
         keep_fac = (not lanes) and opts.soc and not self.qn_lbfgs
 
         def _bwhere(okv, old, new):
@@ -805,7 +810,7 @@ class InteriorPointSolver:
         def attempt(dw):
             Hreg = H + dw[:, None, None, None] * eye_d
             if lanes:
-                dz, nu, ok = solve_kkt_lanes(
+                dz, nu, ok = lanes_fn(
                     Hreg, C, A, Bj, rz, rnu, opts.delta_c,
                     interpret=jax.default_backend() != "tpu",
                 )

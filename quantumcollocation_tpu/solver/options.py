@@ -66,8 +66,9 @@ class SolverOptions:
     # Ipopt-style gradient-based objective/constraint scaling plus
     # Jacobian-column variable scaling, computed once at the initial point
     nlp_scaling: bool = True
-    # KKT factorization backend: "xla" (vmapped small linear algebra) or
-    # "lanes" (Pallas batch-across-lanes kernels; TPU-optimized layout)
+    # KKT factorization backend: "xla" (vmapped small linear algebra),
+    # "lanes" (fused Pallas batch-across-lanes sweeps; TPU-optimized), or
+    # "lanes_scan" (per-knot lanes kernels; cross-validation fallback)
     kkt_backend: str = "xla"
 
     def __post_init__(self):
