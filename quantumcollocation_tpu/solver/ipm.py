@@ -406,16 +406,35 @@ class InteriorPointSolver:
         now_converged = E0 <= opts.tol
 
         # ---------------- barrier update ---------------- #
-        E_mu = jnp.maximum(jnp.maximum(E_dual, E_pr), comp_err(mu))
-        mu_next = jnp.where(
-            E_mu <= opts.kappa_epsilon * mu,
-            jnp.maximum(
-                opts.tol / 10.0,
-                jnp.minimum(opts.kappa_mu * mu, mu**opts.theta_mu),
-            ),
-            mu,
-        )
-        mu = mu_next
+        n_comp = float(self._has_lb.sum() + self._has_ub.sum()) + T * m
+        if opts.mu_strategy == "adaptive" and n_comp > 0:
+            # LOQO centrality oracle (Ipopt mu_strategy=adaptive,
+            # mu_oracle=loqo): mu = sigma * avg(comp) with
+            # sigma = 0.1*min(0.05*(1-xi)/xi, 2)^3, xi = min(comp)/avg(comp).
+            # Re-centers every iteration — no Fiacco-McCormick outer loop,
+            # no extra KKT solves.
+            csum = jnp.sum(sl * zl * has_lb) + jnp.sum(su * zu * has_ub)
+            cmin = jnp.minimum(
+                jnp.min(sl * zl, initial=jnp.inf, where=has_lb > 0),
+                jnp.min(su * zu, initial=jnp.inf, where=has_ub > 0),
+            )
+            if m > 0:
+                csum = csum + jnp.sum(sig * w)
+                cmin = jnp.minimum(cmin, jnp.min(sig * w))
+            avg = csum / n_comp
+            xi = jnp.clip(cmin / jnp.maximum(avg, 1e-300), 1e-12, 1.0)
+            sigma_c = 0.1 * jnp.minimum(0.05 * (1.0 - xi) / xi, 2.0) ** 3
+            mu = jnp.clip(sigma_c * avg, opts.tol / 10.0, opts.mu_max)
+        else:
+            E_mu = jnp.maximum(jnp.maximum(E_dual, E_pr), comp_err(mu))
+            mu = jnp.where(
+                E_mu <= opts.kappa_epsilon * mu,
+                jnp.maximum(
+                    opts.tol / 10.0,
+                    jnp.minimum(opts.kappa_mu * mu, mu**opts.theta_mu),
+                ),
+                mu,
+            )
         tau = jnp.maximum(opts.tau_min, 1.0 - mu)
 
         # ---------------- assemble condensed KKT blocks ---------------- #

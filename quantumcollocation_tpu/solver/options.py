@@ -27,6 +27,11 @@ class SolverOptions:
     theta_mu: float = 1.5
     kappa_epsilon: float = 10.0
     tau_min: float = 0.99
+    # barrier strategy: "monotone" (Fiacco-McCormick, the fields above) or
+    # "adaptive" (LOQO centrality oracle — Ipopt's mu_strategy=adaptive,
+    # mu_oracle=loqo analog; re-centers every iteration, no extra solves)
+    mu_strategy: str = "monotone"
+    mu_max: float = 1e2
     # regularization
     delta_w_init: float = 1e-8
     delta_w_min: float = 1e-20
