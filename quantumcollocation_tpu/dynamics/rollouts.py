@@ -26,6 +26,7 @@ __all__ = [
     "rollout",
     "unitary_rollout",
     "open_rollout",
+    "expv_action",
     "rollout_fidelity",
     "unitary_rollout_fidelity",
     "open_rollout_fidelity",
@@ -51,19 +52,71 @@ def _scan_apply(Ps, x0_mat):
     return jnp.concatenate([x0_mat[None], xs], axis=0)
 
 
-def rollout(psi_iso_init, controls, dts, system, *, order=12, num_squarings=8):
+def expv_action(X, v, *, order: int = 12, substeps: int = 8):
+    """exp(X) @ v WITHOUT forming exp(X): `substeps` Taylor applications of
+    exp(X/substeps), each a Horner chain of matvecs — the ExponentialAction.jl
+    `expv` analog (the reference's default rollout integrator,
+    /root/reference/src/trajectory_initialization.jl:398).  Static iteration
+    counts keep the whole chain jit/scan friendly."""
+    Xs = X / substeps
+
+    def substep(y, _):
+        acc = y
+        term = y
+        for k in range(1, order + 1):
+            term = (Xs @ term) / k
+            acc = acc + term
+        return acc, None
+
+    y, _ = jax.lax.scan(substep, v, None, length=substeps)
+    return y
+
+
+def _scan_apply_expv(Xs, x0_mat, order=12, substeps=8):
+    """Sequential expv rollout: x_{t+1} = exp(X_t) x_t via Taylor action."""
+
+    def step(x, X):
+        x_next = expv_action(X, x, order=order, substeps=substeps)
+        return x_next, x_next
+
+    _, xs = jax.lax.scan(step, x0_mat, Xs)
+    return jnp.concatenate([x0_mat[None], xs], axis=0)
+
+
+def _rollout_states(Gs, dts, x0_mat, integrator, order, num_squarings):
+    """Dispatch on the rollout integrator hook (PiccoloOptions.rollout_integrator)."""
+    if integrator == "expv":
+        X = Gs * dts[:, None, None]
+        return _scan_apply_expv(
+            X, x0_mat, order=order, substeps=max(1, num_squarings)
+        )
+    if integrator != "expm":
+        raise ValueError(
+            f"rollout integrator {integrator!r} not in ('expm', 'expv')"
+        )
+    Ps = _propagators(Gs, dts, order, num_squarings)
+    return _scan_apply(Ps, x0_mat)
+
+
+def rollout(
+    psi_iso_init, controls, dts, system, *,
+    integrator="expm", order=12, num_squarings=8,
+):
     """Ket rollout.  controls: (T, n_drives); dts: (T,).  Returns (T, 2N).
 
     Uses the T-1 leading controls/timesteps (knot t propagates t -> t+1).
     """
     psi0 = jnp.asarray(psi_iso_init)
     Gs = jax.vmap(system.generator)(jnp.asarray(controls)[:-1])
-    Ps = _propagators(Gs, jnp.asarray(dts)[:-1], order, num_squarings)
-    return _scan_apply(Ps, psi0[:, None])[..., 0]
+    return _rollout_states(
+        Gs, jnp.asarray(dts)[:-1], psi0[:, None],
+        integrator, order, num_squarings,
+    )[..., 0]
 
 
 def unitary_rollout(
-    U_iso_vec_init, controls, dts, system, *, order=12, num_squarings=8
+    U_iso_vec_init, controls, dts, system, *,
+    integrator="expm", order=12, num_squarings=8,
 ):
     """Unitary rollout on iso-vec states.  Returns (T, 2N^2)."""
     v0 = jnp.asarray(U_iso_vec_init)
@@ -71,19 +124,23 @@ def unitary_rollout(
     N = int(round((n2 / 2) ** 0.5))
     U0 = v0.reshape(N, 2 * N).T  # (2N, N) iso operator
     Gs = jax.vmap(system.generator)(jnp.asarray(controls)[:-1])
-    Ps = _propagators(Gs, jnp.asarray(dts)[:-1], order, num_squarings)
-    Us = _scan_apply(Ps, U0)  # (T, 2N, N)
+    Us = _rollout_states(
+        Gs, jnp.asarray(dts)[:-1], U0, integrator, order, num_squarings
+    )  # (T, 2N, N)
     return jnp.swapaxes(Us, -1, -2).reshape(Us.shape[0], -1)
 
 
 def open_rollout(
-    rho_iso_vec_init, controls, dts, system, *, order=8, num_squarings=8
+    rho_iso_vec_init, controls, dts, system, *,
+    integrator="expm", order=8, num_squarings=8,
 ):
     """Density-matrix (Lindblad) rollout on iso-vec states. Returns (T, 2N^2)."""
     r0 = jnp.asarray(rho_iso_vec_init)
     Ds = jax.vmap(system.lindblad_generator)(jnp.asarray(controls)[:-1])
-    Ps = _propagators(Ds, jnp.asarray(dts)[:-1], order, num_squarings)
-    return _scan_apply(Ps, r0[:, None])[..., 0]
+    return _rollout_states(
+        Ds, jnp.asarray(dts)[:-1], r0[:, None],
+        integrator, order, num_squarings,
+    )[..., 0]
 
 
 # --------------------------------------------------------------------------- #
@@ -95,13 +152,15 @@ def _traj_controls(traj, drive_name="a"):
     return traj[drive_name], traj.get_timesteps()
 
 
-def rollout_fidelity(traj, system, *, state_name="ψ̃", drive_name="a"):
+def rollout_fidelity(
+    traj, system, *, state_name="ψ̃", drive_name="a", integrator="expm"
+):
     """Ground-truth ket fidelity: roll initial state forward under the
     trajectory's controls and compare with the goal."""
     a, dts = _traj_controls(traj, drive_name)
     psi0 = jnp.asarray(traj.initial[state_name])
     goal = jnp.asarray(traj.goal[state_name])
-    psis = rollout(psi0, a, dts, system)
+    psis = rollout(psi0, a, dts, system, integrator=integrator)
     return iso_fidelity(psis[-1], goal)
 
 
@@ -114,13 +173,14 @@ def unitary_rollout_fidelity(
     subspace=None,
     phases=None,
     phase_operators=None,
+    integrator="expm",
 ):
     """Ground-truth unitary fidelity by rollout (the reference's
     `unitary_rollout_fidelity`, call sites unitary_smooth_pulse_problem.jl:218-221)."""
     a, dts = _traj_controls(traj, drive_name)
     v0 = jnp.asarray(traj.initial[state_name])
     goal = jnp.asarray(traj.goal[state_name])
-    Us = unitary_rollout(v0, a, dts, system)
+    Us = unitary_rollout(v0, a, dts, system, integrator=integrator)
     if phases is not None:
         return iso_vec_unitary_free_phase_fidelity(
             Us[-1], goal, phases, phase_operators, subspace=subspace
@@ -129,7 +189,8 @@ def unitary_rollout_fidelity(
 
 
 def open_rollout_fidelity(
-    traj, system, psi_goal, *, state_name="ρ⃗̃", drive_name="a"
+    traj, system, psi_goal, *, state_name="ρ⃗̃", drive_name="a",
+    integrator="expm",
 ):
     """Rollout fidelity <psi|rho_T|psi> for open-system pulse design."""
     from ..quantum.fidelities import density_pure_state_fidelity
@@ -137,5 +198,5 @@ def open_rollout_fidelity(
 
     a, dts = _traj_controls(traj, drive_name)
     r0 = jnp.asarray(traj.initial[state_name])
-    rhos = open_rollout(r0, a, dts, system)
+    rhos = open_rollout(r0, a, dts, system, integrator=integrator)
     return density_pure_state_fidelity(iso_vec_to_density(rhos[-1]), psi_goal)

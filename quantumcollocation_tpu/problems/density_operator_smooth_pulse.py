@@ -104,6 +104,7 @@ def DensityOperatorSmoothPulseProblem(
             (a_bounds, da_bounds, dda_bounds),
             state_name=state_name,
             free_time=piccolo_options.free_time,
+            rollout_integrator=piccolo_options.rollout_integrator,
             dt_bounds=(dt_min, dt_max),
             drive_derivative_sigma=drive_derivative_sigma,
             a_guess=a_guess,

@@ -180,7 +180,11 @@ class QuantumControlProblem:
             ub=ub,
             free_mask=free,
             z0=z0,
-            nl_coords=self._nonlinear_defect_coords(),
+            nl_coords=(
+                self._nonlinear_defect_coords()
+                if self.piccolo_options.jacobian_structure
+                else None
+            ),
         )
         self.solver = InteriorPointSolver(
             self.nlp,

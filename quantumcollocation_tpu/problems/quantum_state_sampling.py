@@ -114,6 +114,7 @@ def QuantumStateSamplingProblem(
                     (a_bounds, da_bounds, dda_bounds),
                     state_names=[sname(i, j) for i in range(n_states)],
                     free_time=piccolo_options.free_time,
+                    rollout_integrator=piccolo_options.rollout_integrator,
                     dt_bounds=(dt_min, dt_max),
                     bound_state=piccolo_options.bound_state,
                     drive_derivative_sigma=drive_derivative_sigma,

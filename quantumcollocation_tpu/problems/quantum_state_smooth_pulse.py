@@ -113,6 +113,7 @@ def QuantumStateSmoothPulseProblem(
             (a_bounds, da_bounds, dda_bounds),
             state_name=state_name,
             free_time=piccolo_options.free_time,
+            rollout_integrator=piccolo_options.rollout_integrator,
             dt_bounds=(dt_min, dt_max),
             bound_state=piccolo_options.bound_state,
             drive_derivative_sigma=drive_derivative_sigma,

@@ -99,6 +99,7 @@ def UnitaryBangBangProblem(
             free_time=piccolo_options.free_time,
             dt_bounds=(dt_min, dt_max),
             geodesic=piccolo_options.geodesic,
+            rollout_integrator=piccolo_options.rollout_integrator,
             bound_state=piccolo_options.bound_state,
             a_guess=a_guess,
             system=system,

@@ -117,6 +117,7 @@ def UnitarySmoothPulseProblem(
             dt_bounds=(dt_min, dt_max),
             zero_initial_and_final_derivative=zero_initial_and_final_derivative,
             geodesic=piccolo_options.geodesic,
+            rollout_integrator=piccolo_options.rollout_integrator,
             bound_state=piccolo_options.bound_state,
             a_guess=a_guess,
             system=system,

@@ -59,6 +59,8 @@ class IPMState(NamedTuple):
     e_comp: Any = 0.0  # (B,)
     ls_k: Any = 0  # (B,) line-search backtracks used
     reg_dw: Any = 0.0  # (B,) delta_w used in the accepted factorization
+    alpha_du: Any = 0.0  # (B,) accepted dual (bound-multiplier) step size
+    d_norm: Any = 0.0  # (B,) sup-norm of the accepted primal step
     # limited-memory BFGS state (None unless quasi_newton == "lbfgs"):
     qn_S: Any = None  # (B, mem, T*d) step history (chronological)
     qn_Y: Any = None  # (B, mem, T*d) Lagrangian-gradient differences
@@ -136,6 +138,7 @@ class InteriorPointSolver:
             )
         nlp_raw = self.nlp
         self.var_scale = np.ones(nlp_raw.d)
+        self.obj_scale = 1.0
         if self.options.nlp_scaling:
             self.nlp = self._build_scaled_nlp(nlp_raw)
         self.funcs = make_nlp_functions(
@@ -196,6 +199,7 @@ class InteriorPointSolver:
         gmax = float(np.max(np.abs(np.asarray(gphi)) * v[None, :]))
         s_obj = 100.0 / max(100.0, gmax)
         self.var_scale = v
+        self.obj_scale = s_obj
         return scale_stage_nlp(nlp, v, r, q, s_obj)
 
     def unscale(self, Z):
@@ -211,6 +215,8 @@ class InteriorPointSolver:
         opts = self.options
         nlp = self.nlp
         Z0 = jnp.asarray(Z0)
+        if opts.dtype is not None:
+            Z0 = Z0.astype(jnp.dtype(opts.dtype))
         if self.options.nlp_scaling:
             Z0 = Z0 / jnp.asarray(self.var_scale, Z0.dtype)
         assert Z0.ndim == 3, "Z0 must be (batch, T, d)"
@@ -297,6 +303,8 @@ class InteriorPointSolver:
             e_comp=zeros,
             ls_k=jnp.zeros((B,), jnp.int32),
             reg_dw=zeros,
+            alpha_du=zeros,
+            d_norm=zeros,
             **qn,
         )
 
@@ -626,11 +634,11 @@ class InteriorPointSolver:
         # on TPU than evaluating all K candidates in parallel (the batch
         # almost always accepts the full step together).
         def ls_cond2(carry):
-            k, alpha, accepted, best_a, best_m = carry
+            k, alpha, accepted, m_acc, best_a, best_m = carry
             return (~accepted) & (k < opts.max_ls_iters)
 
         def ls_body(carry):
-            k, alpha, accepted, best_a, best_m = carry
+            k, alpha, accepted, m_acc, best_a, best_m = carry
             a = a_pri * (0.5**k)
             mval = merit(Z + a * dz, sig + a * dsig)
             good = mval <= m0 - 1e-12 * jnp.abs(m0)
@@ -639,17 +647,19 @@ class InteriorPointSolver:
                 k + 1,
                 jnp.where(good, a, alpha),
                 accepted | good,
+                jnp.where(good, mval, m_acc),
                 jnp.where(better, a, best_a),
                 jnp.minimum(mval, best_m),
             )
 
-        k_ls, alpha, accepted, best_a, best_m = jax.lax.while_loop(
+        k_ls, alpha, accepted, m_acc, best_a, best_m = jax.lax.while_loop(
             ls_cond2,
             ls_body,
             (
                 jnp.zeros((), jnp.int32),
                 jnp.zeros((), dtype),
                 jnp.zeros((), bool),
+                jnp.asarray(jnp.inf, dtype),
                 jnp.zeros((), dtype),
                 jnp.asarray(jnp.inf, dtype),
             ),
@@ -659,6 +669,9 @@ class InteriorPointSolver:
         # prevents the stall of repeatedly taking a fixed tiny step)
         alpha = jnp.where(accepted, alpha, best_a)
         alpha = jnp.where(ok, alpha, 0.0)
+        # merit at the accepted alpha, carried out of the line search so the
+        # SOC comparison below doesn't pay a redundant full NLP evaluation
+        m_alpha = jnp.where(accepted, m_acc, best_m)
 
         # ---------------- second-order correction ---------------- #
         # Ipopt step A-5.1 (Wächter & Biegler 2006): when the full step was
@@ -682,7 +695,7 @@ class InteriorPointSolver:
             dz_c = dz_c * free
             dsig_c, dw_c, dzl_c, dzu_c, a_p_c, a_d_c = dir_quants(dz_c)
             m_soc = merit(Z + a_p_c * dz_c, sig + a_p_c * dsig_c)
-            m_ls = merit(Z + alpha * dz, sig + alpha * dsig)
+            m_ls = m_alpha  # merit at the accepted alpha (reused, not re-evaluated)
             trigger = ((alpha < a_pri) | (~accepted)) & (
                 theta1 >= opts.kappa_soc * theta0
             )
@@ -775,6 +788,8 @@ class InteriorPointSolver:
             e_comp=aux.E_comp0,
             ls_k=k_ls,
             reg_dw=dw_used,
+            alpha_du=jnp.where(upd, a_dual, 0.0),
+            d_norm=jnp.max(jnp.abs(scale * alpha * dz * free)),
             **qn,
         )
 
@@ -959,10 +974,19 @@ class InteriorPointSolver:
         max_iter = max_iter or self.options.max_iter
         state = self._init_state_jit(jnp.asarray(Z0))
 
-        if callback is not None:
+        live_table = self.options.print_level >= 5
+        if callback is not None or live_table:
+            if live_table:
+                print(
+                    f"{'iter':>4} {'objective':>14} {'inf_pr':>9} "
+                    f"{'inf_du':>9} {'lg(mu)':>7} {'||d||':>9} "
+                    f"{'lg(rg)':>7} {'alpha_du':>9} {'alpha_pr':>9} {'ls':>3}"
+                )
             for k in range(max_iter):
                 state = self.step(state)
-                if callback(k, state) is False:
+                if live_table:
+                    self._print_iter_row(k, state)
+                if callback is not None and callback(k, state) is False:
                     break
                 if bool(jnp.all(state.converged)):
                     break
@@ -983,6 +1007,41 @@ class InteriorPointSolver:
             kkt_err=state.kkt_err,
             mu=state.mu,
             objective=obj,
+        )
+
+    def iteration_stats(self, state: IPMState, b: int = 0) -> dict:
+        """Host-side per-iteration stats for instance b, shaped like Ipopt's
+        intermediate-callback tuple (/root/reference/docs/literate/man/
+        ipopt_callbacks.jl:17-31).  Objective is reported in PROBLEM units
+        (NLP scaling undone)."""
+        obj = float(
+            jax.jit(jax.vmap(self.funcs.total_cost))(state.Z)[b]
+        ) / self.obj_scale
+        return {
+            "iter_count": int(state.n_iter[b]),
+            "obj_value": obj,
+            "inf_pr": float(state.e_pr[b]),
+            "inf_du": float(state.e_dual[b]),
+            "mu": float(state.mu[b]),
+            "d_norm": float(state.d_norm[b]),
+            "regularization_size": float(state.reg_dw[b]),
+            "alpha_du": float(state.alpha_du[b]),
+            "alpha_pr": float(state.alpha[b]),
+            "ls_trials": int(state.ls_k[b]),
+        }
+
+    def _print_iter_row(self, k: int, state: IPMState):
+        import math as _math
+
+        st = self.iteration_stats(state, 0)
+        rg = st["regularization_size"]
+        lg_rg = f"{_math.log10(rg):7.1f}" if rg > 0 else "      -"
+        mu = max(st["mu"], 1e-300)
+        print(
+            f"{k:>4} {st['obj_value']:>14.7e} {st['inf_pr']:>9.2e} "
+            f"{st['inf_du']:>9.2e} {_math.log10(mu):>7.1f} "
+            f"{st['d_norm']:>9.2e} {lg_rg} {st['alpha_du']:>9.2e} "
+            f"{st['alpha_pr']:>9.2e} {st['ls_trials']:>3}"
         )
 
     @partial(jax.jit, static_argnums=(0, 2))

@@ -37,14 +37,34 @@ class SolverOptions:
     delta_w_min: float = 1e-20
     delta_w_max: float = 1e6
     delta_c: float = 1e-8
-    # line search
+    # line search: "filter" (Wächter–Biegler filter acceptance: a trial is
+    # accepted when it improves constraint violation OR barrier objective
+    # vs. the filter, with an Armijo test on the barrier objective when the
+    # switching condition holds — Ipopt's globalization) or "merit"
+    # (l1-merit backtracking with best-merit fallback)
+    line_search: str = "merit"
     max_ls_iters: int = 10
+    # Armijo slope fraction eta_phi in the filter f-type acceptance test
+    # phi(trial) <= phi + eta * alpha * grad_phi^T dz (Ipopt eta_phi)
     armijo_eta: float = 1e-4
+    # filter parameters (Wächter & Biegler 2006, Table 1 defaults)
+    theta_max_fact: float = 1e4  # absolute-infeasibility cap factor
+    gamma_theta: float = 1e-5
+    gamma_phi: float = 1e-8
+    s_theta: float = 1.1
+    s_phi: float = 2.3
+    delta_ls: float = 1.0
+    filter_size: int = 8  # device-resident filter slots (oldest evicted)
+    # watchdog: accept up to `watchdog_trials` non-monotone full steps before
+    # falling back to the last safe iterate (0 disables)
+    watchdog_trials: int = 0
     # second-order correction (Ipopt step A-5.1): when the full step is
     # rejected and constraint violation grew, re-solve the SAME KKT
     # factorization with a corrected defect rhs and take that step if it
     # wins on merit.  Reuses the factorization (triangular solves only).
-    # Supported by the "xla" KKT backend; ignored on "lanes".
+    # Supported by the exact/Gauss-Newton Hessian modes on every KKT
+    # backend; silently inert with quasi_newton="lbfgs" (the SMW-corrected
+    # factorization is not kept — enable soc with gauss-newton instead).
     soc: bool = False
     kappa_soc: float = 0.99
     # dual recalculation (least-squares multiplier resets; the reference's
@@ -58,7 +78,9 @@ class SolverOptions:
     # (drop defect curvature, keep exact cost Hessians)
     quasi_newton: str = "lbfgs"
     lbfgs_memory: int = 6
-    # numerical type: None -> follow input dtype
+    # numerical type for solver state: None -> follow the input dtype;
+    # "float32"/"float64" force a cast of the initial decision (f64 needs
+    # jax_enable_x64, i.e. the CPU/test backend)
     dtype: str | None = None
     # TPU matmul precision for solver arithmetic: "highest" (6-pass bf16,
     # full f32 accuracy), "high" (3-pass), or "default" (fast, bf16-ish —
@@ -76,9 +98,25 @@ class SolverOptions:
     # "lanes_scan" (per-knot lanes kernels; cross-validation fallback)
     kkt_backend: str = "xla"
 
+    _ENUMS = {
+        "mu_strategy": ("monotone", "adaptive"),
+        "quasi_newton": ("lbfgs", "gauss-newton"),
+        "kkt_backend": ("xla", "lanes", "lanes_scan"),
+        "matmul_precision": ("default", "high", "highest"),
+        "eval_precision": (None, "default", "high", "highest"),
+        "dtype": (None, "float32", "float64"),
+        "line_search": ("filter", "merit"),
+    }
+
     def __post_init__(self):
         if isinstance(self.recalc_y, str):
             self.recalc_y = self.recalc_y.lower() in ("yes", "true", "on")
+        for field, allowed in self._ENUMS.items():
+            val = getattr(self, field)
+            if val not in allowed:
+                raise ValueError(
+                    f"SolverOptions.{field}={val!r} is not one of {allowed}"
+                )
 
     def replace(self, **kwargs):
         return dataclasses.replace(self, **kwargs)
@@ -97,6 +135,10 @@ class PiccoloOptions:
     timesteps_all_equal: bool = True
     integrator: str = "pade"  # or "exponential"
     pade_order: int = 4
+    # integrator used by initialization/validation rollouts: "expm" (dense
+    # propagator bank, parallel-in-t) or "expv" (Krylov/Taylor action of
+    # exp(G dt) on the state without forming the propagator — the
+    # reference's default, /root/reference/src/trajectory_initialization.jl:398)
     rollout_integrator: str = "expm"
     geodesic: bool = True
     bound_state: bool = False
@@ -106,6 +148,9 @@ class PiccoloOptions:
     complex_control_norm_constraint_name: str | None = None
     complex_control_norm_constraint_radius: float = 1.0
     build_trajectory_constraints: bool = True
+    # exploit defect sparsity structure: nonlinear-coordinate-restricted
+    # Hessian passes + (where available) the analytic propagator-bank
+    # assembly.  False falls back to dense AD over full knot rows.
     jacobian_structure: bool = True
 
     def replace(self, **kwargs):

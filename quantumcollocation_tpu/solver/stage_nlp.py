@@ -44,26 +44,33 @@ def scale_stage_nlp(nlp: "StageNLP", var_scale, defect_scale, ineq_scale, obj_sc
     — Ipopt's gradient-based scaling generalized with Jacobian-column-norm
     variable scaling (equalizes curvature across e.g. stiff Δt columns).
     """
-    v = jnp.asarray(var_scale)
-    r = jnp.asarray(defect_scale)
-    q = jnp.asarray(ineq_scale)
+    v_all = np.asarray(var_scale)
+    r_all = np.asarray(defect_scale)
+    q_all = np.asarray(ineq_scale)
     s_obj = float(obj_scale)
-    v_np = np.asarray(var_scale)
+    v_np = v_all
+
+    # cast scale vectors to the evaluation dtype (a float64 constant would
+    # silently promote float32 solver state under jax_enable_x64)
+    def _v(z):
+        return jnp.asarray(v_all, z.dtype)
 
     def stage_cost(z, t):
-        return s_obj * nlp.stage_cost(v * z, t)
+        return s_obj * nlp.stage_cost(_v(z) * z, t)
 
     def pair_cost(zt, ztp1, t):
-        return s_obj * nlp.pair_cost(v * zt, v * ztp1, t)
+        return s_obj * nlp.pair_cost(_v(zt) * zt, _v(ztp1) * ztp1, t)
 
     def terminal_cost(zT):
-        return s_obj * nlp.terminal_cost(v * zT)
+        return s_obj * nlp.terminal_cost(_v(zT) * zT)
 
     def defect(zt, ztp1, t):
-        return r * nlp.defect(v * zt, v * ztp1, t)
+        return jnp.asarray(r_all, zt.dtype) * nlp.defect(
+            _v(zt) * zt, _v(ztp1) * ztp1, t
+        )
 
     def ineq(z, t):
-        return q * nlp.ineq(v * z, t)
+        return jnp.asarray(q_all, z.dtype) * nlp.ineq(_v(z) * z, t)
 
     return dataclasses.replace(
         nlp,

@@ -320,6 +320,7 @@ def initialize_unitary_trajectory(
     geodesic: bool = True,
     phase_name: str = "ϕ",
     phase_operators=None,
+    rollout_integrator: str = "expm",
     rng=None,
     **kwargs,
 ) -> NamedTrajectory:
@@ -351,7 +352,10 @@ def initialize_unitary_trajectory(
     else:
         assert system is not None, "system required with a_guess"
         U_traj = np.asarray(
-            unitary_rollout(v_init, np.asarray(a_guess), dts, system)
+            unitary_rollout(
+                v_init, np.asarray(a_guess), dts, system,
+                integrator=rollout_integrator,
+            )
         )
 
     phase_data = None
@@ -388,6 +392,7 @@ def initialize_state_trajectory(
     state_names=None,
     a_guess=None,
     system=None,
+    rollout_integrator: str = "expm",
     rng=None,
     **kwargs,
 ) -> NamedTrajectory:
@@ -410,7 +415,14 @@ def initialize_state_trajectory(
             trajs.append(linear_interpolation(i0, g0, T))
         else:
             assert system is not None
-            trajs.append(np.asarray(rollout(i0, np.asarray(a_guess), dts, system)))
+            trajs.append(
+                np.asarray(
+                    rollout(
+                        i0, np.asarray(a_guess), dts, system,
+                        integrator=rollout_integrator,
+                    )
+                )
+            )
     return initialize_trajectory(
         trajs,
         iso_inits,
@@ -437,6 +449,7 @@ def initialize_density_trajectory(
     state_name: str = "ρ⃗̃",
     a_guess=None,
     system=None,
+    rollout_integrator: str = "expm",
     rng=None,
     **kwargs,
 ) -> NamedTrajectory:
@@ -451,7 +464,10 @@ def initialize_density_trajectory(
     else:
         assert system is not None
         traj_data = np.asarray(
-            open_rollout(v_init, np.asarray(a_guess), dts, system)
+            open_rollout(
+                v_init, np.asarray(a_guess), dts, system,
+                integrator=rollout_integrator,
+            )
         )
     return initialize_trajectory(
         [traj_data],

@@ -2,6 +2,7 @@
 
 from .callbacks import (
     best_rollout_fidelity_callback,
+    ipopt_callback_adapter,
     kkt_history_callback,
     trajectory_history_callback,
 )
@@ -11,6 +12,7 @@ from .plotting import plot_trajectory
 
 __all__ = [
     "best_rollout_fidelity_callback",
+    "ipopt_callback_adapter",
     "kkt_history_callback",
     "trajectory_history_callback",
     "load_trajectory",

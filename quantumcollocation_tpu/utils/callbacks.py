@@ -19,7 +19,40 @@ __all__ = [
     "trajectory_history_callback",
     "best_rollout_fidelity_callback",
     "kkt_history_callback",
+    "ipopt_callback_adapter",
 ]
+
+
+def ipopt_callback_adapter(prob, user_cb, *, instance: int = 0):
+    """Adapt a reference-shaped Ipopt intermediate callback to the IPM.
+
+    `user_cb` receives the 11 positional fields of Ipopt's intermediate
+    callback (alg_mod, iter_count, obj_value, inf_pr, inf_du, mu, d_norm,
+    regularization_size, alpha_du, alpha_pr, ls_trials — documented at
+    /root/reference/docs/literate/man/ipopt_callbacks.jl:17-31) for one batch
+    instance, and may return False to stop the solve early (the reference's
+    early-stop protocol, ipopt_callbacks.jl:36-37).
+
+    Returns an IPM-protocol callback(k, IPMState).
+    """
+
+    def callback(k, state):
+        st = prob.solver.iteration_stats(state, instance)
+        return user_cb(
+            0,  # alg_mod: 0 = regular mode (no restoration phase here)
+            st["iter_count"],
+            st["obj_value"],
+            st["inf_pr"],
+            st["inf_du"],
+            st["mu"],
+            st["d_norm"],
+            st["regularization_size"],
+            st["alpha_du"],
+            st["alpha_pr"],
+            st["ls_trials"],
+        )
+
+    return callback
 
 
 def trajectory_history_callback(prob):

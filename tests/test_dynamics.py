@@ -198,3 +198,27 @@ class TestRollouts:
         rhos = qct.open_rollout(qct.density_to_iso_vec(rho0), a, dts, sys)
         rho_end = np.asarray(qct.iso_vec_to_density(rhos[-1]))
         assert abs(np.trace(rho_end) - 1.0) < 1e-8
+
+
+def test_expv_rollout_matches_expm():
+    # PiccoloOptions.rollout_integrator="expv" applies the exponential action
+    # without forming propagators (the reference's default integrator,
+    # /root/reference/src/trajectory_initialization.jl:398) — both paths must
+    # produce the same rollout
+    import quantumcollocation_tpu as qct
+    from quantumcollocation_tpu.dynamics.rollouts import unitary_rollout
+    from quantumcollocation_tpu.quantum.isomorphisms import operator_to_iso_vec
+
+    sys_q = qct.QuantumSystem(qct.GATES["Z"], [qct.GATES["X"], qct.GATES["Y"]])
+    v0 = np.asarray(operator_to_iso_vec(np.eye(2, dtype=complex)))
+    rng = np.random.default_rng(0)
+    a = 0.3 * rng.standard_normal((12, 2))
+    dts = np.full(12, 0.2)
+    r_expm = np.asarray(unitary_rollout(v0, a, dts, sys_q, integrator="expm"))
+    r_expv = np.asarray(unitary_rollout(v0, a, dts, sys_q, integrator="expv"))
+    np.testing.assert_allclose(r_expv, r_expm, atol=1e-9)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="rollout integrator"):
+        unitary_rollout(v0, a, dts, sys_q, integrator="krylov")

@@ -312,3 +312,44 @@ class TestIPM:
         x_ref, v_ref = states(ref.x)
         np.testing.assert_allclose(Z[:, 0], x_ref, atol=1e-5)
         np.testing.assert_allclose(Z[:-1, 2], ref.x, atol=1e-4)
+
+
+class TestOptionsAndStrategies:
+    def test_option_enum_validation(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="quasi_newton"):
+            SolverOptions(quasi_newton="l-bfgs")
+        with pytest.raises(ValueError, match="mu_strategy"):
+            SolverOptions(mu_strategy="mehrotra")
+        with pytest.raises(ValueError, match="kkt_backend"):
+            SolverOptions(kkt_backend="lane")
+        with pytest.raises(ValueError, match="eval_precision"):
+            SolverOptions(eval_precision="bf16")
+
+    def test_adaptive_mu_converges_to_same_optimum(self):
+        # the LOQO centrality oracle (mu_strategy="adaptive") must reach the
+        # same optimum as the monotone Fiacco-McCormick schedule on a
+        # bound/inequality-constrained problem
+        nlp = _double_integrator_nlp(u_bound=1.0, terminal_ineq=True)
+        base = InteriorPointSolver(nlp, SolverOptions(tol=1e-8))
+        res0 = base.solve(jnp.asarray(nlp.z0)[None], max_iter=80)
+        assert bool(res0.converged[0])
+
+        ada = InteriorPointSolver(
+            nlp, SolverOptions(tol=1e-8, mu_strategy="adaptive")
+        )
+        res1 = ada.solve(jnp.asarray(nlp.z0)[None], max_iter=80)
+        assert bool(res1.converged[0]), f"kkt_err={res1.kkt_err}"
+        np.testing.assert_allclose(
+            np.asarray(res1.Z[0, -1, 0]), np.asarray(res0.Z[0, -1, 0]),
+            atol=1e-5,
+        )
+
+    def test_dtype_option_casts_state(self):
+        nlp = _double_integrator_nlp()
+        solver = InteriorPointSolver(
+            nlp, SolverOptions(tol=1e-8, dtype="float32")
+        )
+        state = solver.init_state(jnp.asarray(nlp.z0, jnp.float64)[None])
+        assert state.Z.dtype == jnp.float32

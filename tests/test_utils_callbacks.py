@@ -78,3 +78,59 @@ class TestSerialization:
             traj2 = qct.load_trajectory(path)
         np.testing.assert_allclose(traj2.global_data["ϕ"], [0.3])
         assert traj2.timestep == "Δt"
+
+
+class TestIpoptParity:
+    def test_ipopt_callback_adapter_fields(self):
+        # the adapter delivers the reference's 11-field intermediate-callback
+        # tuple (/root/reference/docs/literate/man/ipopt_callbacks.jl:17-31)
+        sys, prob = _small_prob()
+        rows = []
+
+        def user_cb(
+            alg_mod, iter_count, obj_value, inf_pr, inf_du, mu, d_norm,
+            regularization_size, alpha_du, alpha_pr, ls_trials,
+        ):
+            rows.append(
+                (alg_mod, iter_count, obj_value, inf_pr, inf_du, mu, d_norm,
+                 regularization_size, alpha_du, alpha_pr, ls_trials)
+            )
+            return True
+
+        cb = qct.ipopt_callback_adapter(prob, user_cb)
+        prob.solve(max_iter=5, callback=cb)
+        assert 1 <= len(rows) <= 5
+        for row in rows:
+            assert len(row) == 11
+            assert np.isfinite(row[2])  # objective
+            assert row[3] >= 0 and row[4] >= 0  # inf_pr, inf_du
+            assert 0 < row[5] <= 1.0  # mu
+            assert 0 <= row[9] <= 1.0 + 1e-12  # alpha_pr
+        # objective is reported in problem units: positive and O(1..1e4)
+        assert 0 < rows[-1][2] < 1e6
+
+    def test_ipopt_callback_adapter_early_stop(self):
+        sys, prob = _small_prob()
+        calls = []
+
+        def user_cb(*fields):
+            calls.append(fields[1])
+            return False
+
+        cb = qct.ipopt_callback_adapter(prob, user_cb)
+        prob.solve(max_iter=10, callback=cb)
+        assert len(calls) == 1
+
+    def test_live_iteration_table(self, capsys):
+        # print_level >= 5 prints the Ipopt-style live iteration table
+        sys = qct.QuantumSystem(qct.GATES["Z"], [qct.GATES["X"], qct.GATES["Y"]])
+        prob = qct.UnitarySmoothPulseProblem(
+            sys, qct.GATES["H"], 11, 0.2,
+            ipopt_options=qct.SolverOptions(print_level=5, tol=1e-6),
+            piccolo_options=qct.PiccoloOptions(verbose=False),
+        )
+        prob.solve(max_iter=3)
+        out = capsys.readouterr().out
+        assert "inf_pr" in out and "alpha_pr" in out and "lg(mu)" in out
+        # at least one data row with the iteration counter
+        assert any(line.strip().startswith("0 ") for line in out.splitlines())
