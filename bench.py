@@ -39,24 +39,32 @@ def _f64_rollout_fidelity(a, dts, H_drift, H_drives, U_goal):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=512)
-    # sweep-tuned (scripts/tpu_iters_sweep.py, v5e-1): 40 iters -> frac_ok
-    # ~0.95-0.96 at the best throughput; 50+ buys frac ~0.99 but loses ~15%
-    parser.add_argument("--iters", type=int, default=40)
+    # sweep-tuned (v5e-1, filter line search + analytic Pallas bank):
+    # 44 iters -> frac_ok 0.986 at 576 solves/s/chip; 40 -> 0.96 at 618;
+    # 48 -> 1.00 at 535
+    parser.add_argument("--iters", type=int, default=44)
     parser.add_argument("--kappa-mu", dest="kappa_mu", type=float, default=0.1)
     parser.add_argument("--smoke", action="store_true")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--precision", type=str, default="highest")
+    # "high" (3-pass) is enough for the residual XLA evaluation now that the
+    # propagator/derivative bank runs in the Pallas kernel at true f32
+    # (with the old all-XLA assembly, "high" lost converged fraction)
     parser.add_argument(
-        "--eval-precision", dest="eval_precision", type=str, default=None,
-        help="precision for NLP function/derivative evaluation "
-        "(default: follow --precision)",
+        "--eval-precision", dest="eval_precision", type=str, default="high",
     )
     # default: Pallas lanes kernels on TPU (measured ~8-16x faster than the
     # vmapped-XLA path for this KKT size), XLA path on CPU (lanes would run
     # in the slow Pallas interpreter there)
     parser.add_argument(
         "--kkt-backend", dest="kkt_backend", type=str, default=None
+    )
+    parser.add_argument(
+        "--line-search", dest="line_search", type=str, default="filter"
+    )
+    parser.add_argument(
+        "--mu-strategy", dest="mu_strategy", type=str, default="monotone"
     )
     args = parser.parse_args()
     if args.smoke:
@@ -93,6 +101,8 @@ def main():
             eval_precision=args.eval_precision,
             kkt_backend=args.kkt_backend,
             kappa_mu=args.kappa_mu,
+            line_search=args.line_search,
+            mu_strategy=args.mu_strategy,
         ),
         piccolo_options=qct.PiccoloOptions(verbose=False),
         rng=np.random.default_rng(0),

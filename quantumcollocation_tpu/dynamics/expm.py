@@ -28,6 +28,9 @@ __all__ = [
     "expm_pade",
     "expm_squaring",
     "default_num_squarings",
+    "frechet_pairs",
+    "pade_poly_frechet",
+    "expm_frechet_bank",
 ]
 
 
@@ -104,3 +107,117 @@ def expm_squaring(X, order: int = 8, num_squarings: int = 4):
     for _ in range(num_squarings):
         P = P @ P
     return P
+
+
+def frechet_pairs(K: int):
+    """Canonical (k, l) pair ordering (k <= l) for second directional
+    derivatives; index p of pair (k, l) matches expm_frechet_bank's d2P."""
+    return tuple((k, l) for k in range(K) for l in range(k, K))
+
+
+@partial(jax.jit, static_argnames=("order", "second_order"))
+def pade_poly_frechet(X, dX, d2X=None, *, order: int = 4, second_order: bool = True):
+    """Padé numerator/denominator N(X) = q(X), D(X) = q(-X) with first and
+    second directional derivatives (same direction conventions as
+    expm_frechet_bank; d2X=None means X is linear in θ).
+
+    Returns (N, dN, d2N, D, dD, d2D) with dN (K, n, n), d2N (Kp, n, n) in
+    frechet_pairs order; d2N/d2D are None when second_order=False.
+
+    This is the derivative bank for the IMPLICIT Padé defect
+    D(X) U_{t+1} - N(X) U_t = 0 (the reference's UnitaryPadeIntegrator,
+    /root/reference/src/problem_templates/unitary_smooth_pulse_problem.jl:163-167)
+    — polynomials only: no matrix inverse, no squaring.
+    """
+    n = X.shape[-1]
+    K = dX.shape[0]
+    pairs = frechet_pairs(K)
+    Kp = len(pairs)
+    dtype = X.dtype
+    coeffs = pade_coefficients(order)
+    eye = jnp.eye(n, dtype=dtype)
+    if second_order and d2X is None:
+        d2X = jnp.zeros((Kp, n, n), dtype)
+
+    def horner(sign):
+        acc = coeffs[-1] * eye
+        dacc = jnp.zeros((K, n, n), dtype)
+        d2acc = jnp.zeros((Kp, n, n), dtype) if second_order else None
+        Xe = sign * X
+        dXe = sign * dX
+        for c in reversed(coeffs[:-1]):
+            if second_order:
+                d2acc_new = sign * d2X @ acc + Xe @ d2acc
+                for p, (k, l) in enumerate(pairs):
+                    d2acc_new = d2acc_new.at[p].add(
+                        dXe[k] @ dacc[l] + dXe[l] @ dacc[k]
+                    )
+                d2acc = d2acc_new
+            dacc = dXe @ acc + Xe @ dacc
+            acc = Xe @ acc + c * eye
+        return acc, dacc, d2acc
+
+    N_m, dN, d2N = horner(1.0)
+    D_m, dD, d2D = horner(-1.0)
+    return N_m, dN, d2N, D_m, dD, d2D
+
+
+@partial(jax.jit, static_argnames=("order", "num_squarings", "second_order"))
+def expm_frechet_bank(
+    X, dX, d2X=None, *, order: int = 8, num_squarings: int = 4,
+    second_order: bool = True,
+):
+    """Propagator + directional derivatives in ONE scaling-and-squaring pass.
+
+    For P(θ) = exp(X(θ)) with X (n, n) and K directions:
+      dX  (K, n, n)   first-derivative directions  ∂X/∂θ_k
+      d2X (Kp, n, n)  curvature directions ∂²X/∂θ_k∂θ_l in frechet_pairs(K)
+                      order (None -> zero, i.e. X linear in θ)
+    Returns (P, dP, d2P):
+      P   (n, n)       exp(X)
+      dP  (K, n, n)    ∂P/∂θ_k      (Fréchet derivative L_exp(X; dX_k))
+      d2P (Kp, n, n)   ∂²P/∂θ_k∂θ_l (second directional derivative incl. the
+                       X-curvature chain term), or None if second_order=False
+
+    This is the analytic replacement for forward-over-reverse AD through the
+    propagator: Horner/Gauss-solve/squaring recursions carry the derivative
+    matrices alongside the primal (Al-Mohy & Higham's expm_frechet scheme,
+    extended to second order).  Everything is a fixed chain of (n, n)
+    matmuls — batched over knots/instances by vmap, kernelized by the Pallas
+    lanes bank in ops/pallas_prop_bank.py.
+
+    Role parity: the reference's hot-path dynamics evaluators F/∂F/μ∂²F
+    (/root/reference/test/scripts/integrator_test_script.jl:45-52).
+    """
+    K = dX.shape[0]
+    pairs = frechet_pairs(K)
+    scale = 2.0 ** (-num_squarings)
+
+    Xs = X * scale
+    dXs = dX * scale
+    d2Xs = d2X * scale if (second_order and d2X is not None) else None
+
+    N_m, dN, d2N, D_m, dD, d2D = pade_poly_frechet(
+        Xs, dXs, d2Xs, order=order, second_order=second_order
+    )
+
+    # P0 = D^{-1} N and its derivatives (implicit differentiation of D P = N)
+    Dinv = jnp.linalg.inv(D_m)
+    P = Dinv @ N_m
+    dP = Dinv @ (dN - dD @ P)
+    if second_order:
+        d2P = d2N - d2D @ P
+        for p, (k, l) in enumerate(pairs):
+            d2P = d2P.at[p].add(-dD[k] @ dP[l] - dD[l] @ dP[k])
+        d2P = Dinv @ d2P
+
+    for _ in range(num_squarings):
+        if second_order:
+            d2P_new = d2P @ P + P @ d2P
+            for p, (k, l) in enumerate(pairs):
+                d2P_new = d2P_new.at[p].add(dP[k] @ dP[l] + dP[l] @ dP[k])
+            d2P = d2P_new
+        dP = dP @ P + P @ dP
+        P = P @ P
+
+    return P, dP, (d2P if second_order else None)

@@ -29,6 +29,7 @@ from ..objectives.constraints import (
     TimeStepsAllEqualConstraint,
 )
 from ..objectives.objectives import Objective
+from ..solver.analytic import build_analytic_dynamics
 from ..solver.ipm import InteriorPointSolver
 from ..solver.options import PiccoloOptions, SolverOptions
 from ..solver.stage_nlp import StageNLP
@@ -182,6 +183,11 @@ class QuantumControlProblem:
             z0=z0,
             nl_coords=(
                 self._nonlinear_defect_coords()
+                if self.piccolo_options.jacobian_structure
+                else None
+            ),
+            analytic=(
+                build_analytic_dynamics(traj, integrators, d_aug)
                 if self.piccolo_options.jacobian_structure
                 else None
             ),

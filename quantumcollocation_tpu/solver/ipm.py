@@ -61,6 +61,11 @@ class IPMState(NamedTuple):
     reg_dw: Any = 0.0  # (B,) delta_w used in the accepted factorization
     alpha_du: Any = 0.0  # (B,) accepted dual (bound-multiplier) step size
     d_norm: Any = 0.0  # (B,) sup-norm of the accepted primal step
+    # Wächter–Biegler filter state (None unless line_search == "filter"):
+    flt_theta: Any = None  # (B, Fs) filter infeasibility entries (+inf = empty)
+    flt_phi: Any = None  # (B, Fs) filter barrier-objective entries
+    flt_ptr: Any = None  # (B,) int32 ring pointer (oldest slot evicted)
+    theta_ref: Any = None  # (B,) max(1, theta_0) scale for theta_min/max
     # limited-memory BFGS state (None unless quasi_newton == "lbfgs"):
     qn_S: Any = None  # (B, mem, T*d) step history (chronological)
     qn_Y: Any = None  # (B, mem, T*d) Lagrangian-gradient differences
@@ -110,6 +115,8 @@ class _IterAux(NamedTuple):
     now_converged: Any
     lam: Any  # effective equality multipliers (post-recalc_y reset)
     rz_kkt: Any  # the KKT z-row rhs (for second-order-correction re-solves)
+    gcost: Any = None  # cost gradient (filter line search directional deriv)
+    mu_changed: Any = False  # barrier parameter updated -> filter reset
     # updated L-BFGS memory (written back to the state by _iteration_post)
     qn_S: Any = None
     qn_Y: Any = None
@@ -272,6 +279,22 @@ class InteriorPointSolver:
             lam0 = jax.vmap(ls_lam)(Z, w)
 
         zeros = jnp.zeros((B,), dtype)
+        if self.options.line_search == "filter":
+            # initial infeasibility sets the filter scales (Ipopt:
+            # theta_min = 1e-4 max(1, theta_0), theta_max = 1e4 max(1, theta_0))
+            F0 = jax.vmap(self.funcs.defects)(Z)
+            theta0 = jnp.sum(jnp.abs(F0), axis=(1, 2))
+            if nlp.m > 0:
+                theta0 = theta0 + jnp.sum(jnp.abs(g0 - sig), axis=(1, 2))
+            Fs = self.options.filter_size
+            flt = dict(
+                flt_theta=jnp.full((B, Fs), jnp.inf, dtype),
+                flt_phi=jnp.full((B, Fs), jnp.inf, dtype),
+                flt_ptr=jnp.zeros((B,), jnp.int32),
+                theta_ref=jnp.maximum(1.0, theta0),
+            )
+        else:
+            flt = {}
         if self.qn_lbfgs:
             mem = self.options.lbfgs_memory
             n = nlp.T * nlp.d
@@ -305,6 +328,7 @@ class InteriorPointSolver:
             reg_dw=zeros,
             alpha_du=zeros,
             d_norm=zeros,
+            **flt,
             **qn,
         )
 
@@ -313,7 +337,7 @@ class InteriorPointSolver:
     # the batched KKT solve happens between pre and post, outside the vmap,
     # so the lanes-layout kernel backend can operate on the whole batch)
     # ------------------------------------------------------------------ #
-    def _iteration_pre(self, state: IPMState):
+    def _iteration_pre(self, state: IPMState, banks=None):
         opts = self.options
         nlp = self.nlp
         f = self.funcs
@@ -338,10 +362,23 @@ class InteriorPointSolver:
         # bf16 passes than the factorization (docs/roadmap.md, TPU section)
         eval_prec = opts.eval_precision or opts.matmul_precision
         with jax.default_matmul_precision(eval_prec):
-            F = f.defects(Z)  # (T-1, s)
+            # ONE fused dynamics pass: defects + Jacobian blocks (+ the
+            # propagator-bank aux reused by the Hessian below)
+            F, A, Bj, Jg, dyn_aux = f.dyn_eval(Z, banks)
             g = f.ineqs(Z)  # (T, m)
-            # constraint Jacobian blocks (also feed the dual recalculation)
-            A, Bj, Jg = f.jac_blocks(Z)
+            gcost = f.grad_cost(Z)  # cost gradient (no constraint terms)
+
+        # J^T λ assembled from the blocks (replaces a reverse-AD pass
+        # through the propagators)
+        def _jt(A_, B_, lmb):
+            out = jnp.zeros((T, d), dtype)
+            out = out.at[:-1].add(jnp.einsum("tsd,ts->td", A_, lmb))
+            out = out.at[1:].add(jnp.einsum("tsd,ts->td", B_, lmb))
+            return out
+
+        jg_w = (
+            jnp.einsum("tmi,tm->ti", Jg, w) if m > 0 else jnp.zeros((T, d), dtype)
+        )
 
         E_pr_raw = jnp.max(jnp.abs(F))
         if m > 0:
@@ -355,11 +392,7 @@ class InteriorPointSolver:
             # via the H = I saddle solve (same trick as initialization).
             A_m = A * free[:-1, None, :]
             B_m = Bj * free[1:, None, :]
-            gother = (
-                f.grad_lagrangian(Z, jnp.zeros((T - 1, s), dtype), w)
-                - has_lb * zl
-                + has_ub * zu
-            ) * free
+            gother = (gcost - jg_w - has_lb * zl + has_ub * zu) * free
             eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype), (T, d, d))
             Cz = jnp.zeros((T - 1, d, d), dtype)
             _, nu_ls, ok_ls = solve_kkt(
@@ -369,14 +402,8 @@ class InteriorPointSolver:
             # accept the reset only if it actually shrinks the dual residual
             # (the LS solve carries an O(delta) floor; resetting past the
             # Newton iterates' accuracy would stall convergence)
-            def jt_lam(lmb):
-                out = jnp.zeros((T, d), dtype)
-                out = out.at[:-1].add(jnp.einsum("tsd,ts->td", A_m, lmb))
-                out = out.at[1:].add(jnp.einsum("tsd,ts->td", B_m, lmb))
-                return out
-
-            res_cur = jnp.max(jnp.abs(gother - jt_lam(lam)))
-            res_ls = jnp.max(jnp.abs(gother - jt_lam(nu_ls)))
+            res_cur = jnp.max(jnp.abs(gother - _jt(A_m, B_m, lam)))
+            res_ls = jnp.max(jnp.abs(gother - _jt(A_m, B_m, nu_ls)))
             good = (
                 ok_ls
                 & (E_pr_raw <= opts.recalc_y_feas_tol)
@@ -384,8 +411,8 @@ class InteriorPointSolver:
             )
             lam = jnp.where(good, nu_ls, lam)
 
-        with jax.default_matmul_precision(eval_prec):
-            gL = f.grad_lagrangian(Z, lam, w)  # grad phi - J^T lam - Jg^T w
+        # grad phi - J^T lam - Jg^T w, assembled from the fused blocks
+        gL = gcost - _jt(A, Bj, lam) - jg_w
         r_dual = (gL - has_lb * zl + has_ub * zu) * free
 
         n_duals = (T - 1) * s + T * m + int(self._has_lb.sum() + self._has_ub.sum())
@@ -414,6 +441,7 @@ class InteriorPointSolver:
         now_converged = E0 <= opts.tol
 
         # ---------------- barrier update ---------------- #
+        mu_prev = mu
         n_comp = float(self._has_lb.sum() + self._has_ub.sum()) + T * m
         if opts.mu_strategy == "adaptive" and n_comp > 0:
             # LOQO centrality oracle (Ipopt mu_strategy=adaptive,
@@ -443,6 +471,7 @@ class InteriorPointSolver:
                 ),
                 mu,
             )
+        mu_changed = mu != mu_prev
         tau = jnp.maximum(opts.tau_min, 1.0 - mu)
 
         # ---------------- assemble condensed KKT blocks ---------------- #
@@ -472,7 +501,7 @@ class InteriorPointSolver:
                 )
                 C = jnp.zeros((T - 1, d, d), dtype)
             else:
-                H, C = f.hess_blocks(Z, lam, w)
+                H, C = f.hess_blocks_aux(Z, lam, w, dyn_aux)
                 qn_S = qn_Y = qn_sty = qn_count = qn_sigma = None
                 U_lr = M_lr = None
 
@@ -522,6 +551,8 @@ class InteriorPointSolver:
             now_converged=now_converged,
             lam=lam,
             rz_kkt=-r_z,
+            gcost=gcost,
+            mu_changed=mu_changed,
             qn_S=qn_S,
             qn_Y=qn_Y,
             qn_sty=qn_sty,
@@ -529,6 +560,120 @@ class InteriorPointSolver:
             qn_sigma=qn_sigma,
         )
         return kkt_in, aux
+
+    def _line_search_filter(
+        self, state, aux, dz, dsig, a_pri, theta_phi,
+        theta_k, phi_0, nu_pen, sl, su,
+    ):
+        """Wächter–Biegler filter line search (Ipopt steps A-5.4/A-6).
+
+        A trial is acceptable when it is acceptable to every filter entry
+        (theta/phi sufficient decrease) AND either passes the Armijo test on
+        the barrier objective (f-type step: theta small + switching
+        condition) or makes sufficient theta/phi progress vs. the current
+        iterate (h-type).  Accepted h-type steps (and fallbacks) augment the
+        filter; the filter is reset when the barrier parameter changes.
+        Single-instance (vmapped by the caller).
+        """
+        opts = self.options
+        nlp = self.nlp
+        m = nlp.m
+        Z, sig = state.Z, state.sig
+        dtype = Z.dtype
+        mu = aux.mu
+        free = jnp.asarray(self._free, dtype)
+        has_lb = jnp.asarray(self._has_lb, dtype)
+        has_ub = jnp.asarray(self._has_ub, dtype)
+
+        # directional derivative of phi along (dz, dsig)
+        gphi_dz = jnp.sum(aux.gcost * dz * free)
+        gphi_dz = gphi_dz - mu * jnp.sum(dz / sl * has_lb)
+        gphi_dz = gphi_dz + mu * jnp.sum(dz / su * has_ub)
+        if m > 0:
+            gphi_dz = gphi_dz - mu * jnp.sum(dsig / sig)
+
+        theta_min = 1e-4 * state.theta_ref
+        theta_max = opts.theta_max_fact * state.theta_ref
+        # barrier-parameter updates invalidate the filter (Ipopt resets it)
+        flt_t = jnp.where(aux.mu_changed, jnp.inf, state.flt_theta)
+        flt_p = jnp.where(aux.mu_changed, jnp.inf, state.flt_phi)
+
+        gth, gph = opts.gamma_theta, opts.gamma_phi
+
+        def trial(a):
+            th, ph = theta_phi(Z + a * dz, sig + a * dsig)
+            # acceptable to every filter slot (+inf slots auto-pass)
+            f_ok = jnp.all(
+                (th <= (1.0 - gth) * flt_t) | (ph <= flt_p - gph * flt_t)
+            ) & (th <= theta_max)
+            switching = (gphi_dz < 0) & (
+                a * (-gphi_dz) ** opts.s_phi
+                > opts.delta_ls * theta_k ** opts.s_theta
+            )
+            case1 = (theta_k <= theta_min) & switching
+            armijo = ph <= phi_0 + opts.armijo_eta * a * gphi_dz
+            suff = (th <= (1.0 - gth) * theta_k) | (
+                ph <= phi_0 - gph * theta_k
+            )
+            good = f_ok & jnp.where(case1, armijo, suff)
+            return th, ph, good, case1 & armijo
+
+        def cond(carry):
+            k, alpha, accepted = carry[0], carry[1], carry[2]
+            return (~accepted) & (k < opts.max_ls_iters)
+
+        def body(carry):
+            k, alpha, accepted, m_acc, ftype_acc, best_a, best_m = carry
+            a = a_pri * (0.5**k)
+            th, ph, good, ftype = trial(a)
+            mval = ph + nu_pen * th
+            better = mval < best_m
+            return (
+                k + 1,
+                jnp.where(good, a, alpha),
+                accepted | good,
+                jnp.where(good, mval, m_acc),
+                jnp.where(good, ftype, ftype_acc),
+                jnp.where(better, a, best_a),
+                jnp.minimum(mval, best_m),
+            )
+
+        k_ls, alpha, accepted, m_acc, ftype_acc, best_a, best_m = (
+            jax.lax.while_loop(
+                cond,
+                body,
+                (
+                    jnp.zeros((), jnp.int32),
+                    jnp.zeros((), dtype),
+                    jnp.zeros((), bool),
+                    jnp.asarray(jnp.inf, dtype),
+                    jnp.zeros((), bool),
+                    jnp.zeros((), dtype),
+                    jnp.asarray(jnp.inf, dtype),
+                ),
+            )
+        )
+        # fallback: best l1-merit candidate among those tried (the batched
+        # restoration-phase analog)
+        alpha = jnp.where(accepted, alpha, best_a)
+        m_alpha = jnp.where(accepted, m_acc, best_m)
+
+        # augment unless the accepted step was f-type (Ipopt A-6); fallbacks
+        # augment too (prevents cycling around rejected regions)
+        do_aug = ((~accepted) | (~ftype_acc)) & (
+            (~state.converged) & (~aux.now_converged)
+        )
+        ptr = state.flt_ptr
+        flt_t_new = jnp.where(
+            do_aug, flt_t.at[ptr].set((1.0 - gth) * theta_k), flt_t
+        )
+        flt_p_new = jnp.where(
+            do_aug, flt_p.at[ptr].set(phi_0 - gph * theta_k), flt_p
+        )
+        ptr_new = jnp.where(
+            do_aug, (ptr + 1) % opts.filter_size, ptr
+        ).astype(jnp.int32)
+        return alpha, k_ls, accepted, m_alpha, flt_t_new, flt_p_new, ptr_new
 
     def _iteration_post(
         self,
@@ -598,80 +743,98 @@ class InteriorPointSolver:
 
         dsig, dw_ineq, dzl, dzu, a_pri, a_dual = dir_quants(dz)
 
-        # ---------------- merit line search ---------------- #
+        # ---------------- line search ---------------- #
         nu_pen = 1.2 * jnp.maximum(
             jnp.max(jnp.abs(lam + dlam), initial=1.0),
             jnp.max(jnp.abs(w + dw_ineq), initial=1.0) if m > 0 else 1.0,
         )
 
-        def merit_parts(val, Fv, gv, Zc, sigc):
+        def theta_phi_parts(val, Fv, gv, Zc, sigc):
+            """(theta, phi): constraint violation and barrier objective."""
             slc = jnp.where(has_lb > 0, Zc - lb, 1.0)
             suc = jnp.where(has_ub > 0, ub - Zc, 1.0)
             barrier = jnp.sum(jnp.log(jnp.maximum(slc, 1e-300)) * has_lb)
             barrier += jnp.sum(jnp.log(jnp.maximum(suc, 1e-300)) * has_ub)
             if m > 0:
                 barrier += jnp.sum(jnp.log(jnp.maximum(sigc, 1e-300)))
-            infeas = jnp.sum(jnp.abs(Fv))
+            theta = jnp.sum(jnp.abs(Fv))
             if m > 0:
-                infeas += jnp.sum(jnp.abs(gv - sigc))
-            return val - mu * barrier + nu_pen * infeas
+                theta = theta + jnp.sum(jnp.abs(gv - sigc))
+            return theta, val - mu * barrier
 
         eval_prec = opts.eval_precision or opts.matmul_precision
 
-        def merit(Zc, sigc):
+        def theta_phi(Zc, sigc):
             with jax.default_matmul_precision(eval_prec):
-                return merit_parts(
+                return theta_phi_parts(
                     f.total_cost(Zc), f.defects(Zc), f.ineqs(Zc), Zc, sigc
                 )
 
-        # m0 reuses the already-evaluated residuals F, g
+        def merit(Zc, sigc):
+            th, ph = theta_phi(Zc, sigc)
+            return ph + nu_pen * th
+
+        # current point reuses the already-evaluated residuals F, g
         with jax.default_matmul_precision(eval_prec):
-            m0 = merit_parts(f.total_cost(Z), F, g, Z, sig)
+            theta_k, phi_0 = theta_phi_parts(f.total_cost(Z), F, g, Z, sig)
+        m0 = phi_0 + nu_pen * theta_k
 
-        # Sequential backtracking with batch-wide early exit: under vmap the
-        # while_loop trip count is max-over-batch of the first accepted
-        # candidate, which is 1 for most iterations mid-run — measured FASTER
-        # on TPU than evaluating all K candidates in parallel (the batch
-        # almost always accepts the full step together).
-        def ls_cond2(carry):
-            k, alpha, accepted, m_acc, best_a, best_m = carry
-            return (~accepted) & (k < opts.max_ls_iters)
-
-        def ls_body(carry):
-            k, alpha, accepted, m_acc, best_a, best_m = carry
-            a = a_pri * (0.5**k)
-            mval = merit(Z + a * dz, sig + a * dsig)
-            good = mval <= m0 - 1e-12 * jnp.abs(m0)
-            better = mval < best_m
-            return (
-                k + 1,
-                jnp.where(good, a, alpha),
-                accepted | good,
-                jnp.where(good, mval, m_acc),
-                jnp.where(better, a, best_a),
-                jnp.minimum(mval, best_m),
-            )
-
-        k_ls, alpha, accepted, m_acc, best_a, best_m = jax.lax.while_loop(
-            ls_cond2,
-            ls_body,
+        if opts.line_search == "filter":
             (
-                jnp.zeros((), jnp.int32),
-                jnp.zeros((), dtype),
-                jnp.zeros((), bool),
-                jnp.asarray(jnp.inf, dtype),
-                jnp.zeros((), dtype),
-                jnp.asarray(jnp.inf, dtype),
-            ),
-        )
-        # if no candidate met the decrease test, fall back to the candidate
-        # with the best merit among those tried (restoration-phase analog;
-        # prevents the stall of repeatedly taking a fixed tiny step)
-        alpha = jnp.where(accepted, alpha, best_a)
+                alpha, k_ls, accepted, m_alpha,
+                flt_theta_new, flt_phi_new, flt_ptr_new,
+            ) = self._line_search_filter(
+                state, aux, dz, dsig, a_pri, theta_phi,
+                theta_k, phi_0, nu_pen, sl, su,
+            )
+        else:
+            # Sequential merit backtracking with batch-wide early exit: under
+            # vmap the while_loop trip count is max-over-batch of the first
+            # accepted candidate, which is 1 for most iterations mid-run —
+            # measured FASTER on TPU than evaluating all K candidates in
+            # parallel (the batch almost always accepts the full step
+            # together).
+            def ls_cond2(carry):
+                k, alpha, accepted, m_acc, best_a, best_m = carry
+                return (~accepted) & (k < opts.max_ls_iters)
+
+            def ls_body(carry):
+                k, alpha, accepted, m_acc, best_a, best_m = carry
+                a = a_pri * (0.5**k)
+                mval = merit(Z + a * dz, sig + a * dsig)
+                good = mval <= m0 - 1e-12 * jnp.abs(m0)
+                better = mval < best_m
+                return (
+                    k + 1,
+                    jnp.where(good, a, alpha),
+                    accepted | good,
+                    jnp.where(good, mval, m_acc),
+                    jnp.where(better, a, best_a),
+                    jnp.minimum(mval, best_m),
+                )
+
+            k_ls, alpha, accepted, m_acc, best_a, best_m = jax.lax.while_loop(
+                ls_cond2,
+                ls_body,
+                (
+                    jnp.zeros((), jnp.int32),
+                    jnp.zeros((), dtype),
+                    jnp.zeros((), bool),
+                    jnp.asarray(jnp.inf, dtype),
+                    jnp.zeros((), dtype),
+                    jnp.asarray(jnp.inf, dtype),
+                ),
+            )
+            # if no candidate met the decrease test, fall back to the
+            # candidate with the best merit among those tried
+            # (restoration-phase analog; prevents the stall of repeatedly
+            # taking a fixed tiny step)
+            alpha = jnp.where(accepted, alpha, best_a)
+            # merit at the accepted alpha, carried out of the line search so
+            # the SOC comparison below doesn't pay a redundant evaluation
+            m_alpha = jnp.where(accepted, m_acc, best_m)
+            flt_theta_new = flt_phi_new = flt_ptr_new = None
         alpha = jnp.where(ok, alpha, 0.0)
-        # merit at the accepted alpha, carried out of the line search so the
-        # SOC comparison below doesn't pay a redundant full NLP evaluation
-        m_alpha = jnp.where(accepted, m_acc, best_m)
 
         # ---------------- second-order correction ---------------- #
         # Ipopt step A-5.1 (Wächter & Biegler 2006): when the full step was
@@ -757,6 +920,20 @@ class InteriorPointSolver:
                 w,
             )
 
+        if opts.line_search == "filter":
+            flt = dict(
+                flt_theta=flt_theta_new,
+                flt_phi=flt_phi_new,
+                flt_ptr=flt_ptr_new,
+                theta_ref=state.theta_ref,
+            )
+        else:
+            flt = dict(
+                flt_theta=state.flt_theta,
+                flt_phi=state.flt_phi,
+                flt_ptr=state.flt_ptr,
+                theta_ref=state.theta_ref,
+            )
         if self.qn_lbfgs:
             # persist the memory updated in _iteration_pre; advance prevZ to
             # the current iterate (the next pair spans this transition)
@@ -790,6 +967,7 @@ class InteriorPointSolver:
             reg_dw=dw_used,
             alpha_du=jnp.where(upd, a_dual, 0.0),
             d_norm=jnp.max(jnp.abs(scale * alpha * dz * free)),
+            **flt,
             **qn,
         )
 
@@ -928,7 +1106,21 @@ class InteriorPointSolver:
         return dz, dlam, ok, dw_used, delta_w_new, fac
 
     def _step_impl(self, state: IPMState) -> IPMState:
-        kkt_in, aux = jax.vmap(self._iteration_pre)(state)
+        # hoist the propagator-bank kernel OUT of the per-instance vmap so
+        # the Pallas lanes kernel packs all (instance, knot) pairs into its
+        # 128-lane tiles (solver/analytic.py banks_batched)
+        analytic = self.nlp.analytic
+        if analytic is not None and len(analytic.groups) > 0:
+            eval_prec = self.options.eval_precision or self.options.matmul_precision
+            with jax.default_matmul_precision(eval_prec):
+                banks = analytic.banks_batched(
+                    state.Z, second_order=self.exact_hessian
+                )
+            kkt_in, aux = jax.vmap(self._iteration_pre)(state, banks)
+        else:
+            kkt_in, aux = jax.vmap(
+                lambda st: self._iteration_pre(st, None)
+            )(state)
         dz, dlam, ok, dw_used, delta_w_new, fac = self._solve_kkt_batched(
             kkt_in, state.delta_w
         )

@@ -82,6 +82,11 @@ def scale_stage_nlp(nlp: "StageNLP", var_scale, defect_scale, ineq_scale, obj_sc
         lb=np.asarray(nlp.lb) / v_np[None, :],
         ub=np.asarray(nlp.ub) / v_np[None, :],
         z0=np.asarray(nlp.z0) / v_np[None, :],
+        analytic=(
+            nlp.analytic.with_scaling(v_all, r_all)
+            if nlp.analytic is not None
+            else None
+        ),
     )
 
 
@@ -123,6 +128,9 @@ class StageNLP:
     # Hessian is computed with forward passes over only these coordinates
     # (controls + timestep for exp/Padé defects) instead of all 2d.
     nl_coords: Any = None
+    # structured F/∂F/μ∂²F evaluators (solver.analytic.AnalyticStageDynamics)
+    # built from the integrator list; None -> generic AD assembly
+    analytic: Any = None
 
 
 @dataclasses.dataclass
@@ -135,6 +143,10 @@ class NLPFunctions:
     grad_lagrangian: Callable  # (Z, lam, w) -> (T, d)
     hess_blocks: Callable  # (Z, lam, w) -> H (T,d,d), C (T-1,d,d)
     jac_blocks: Callable  # (Z) -> A (T-1,s,d), B (T-1,s,d), Jg (T,m,d)
+    # fused per-iteration API (used by the IPM hot loop):
+    grad_cost: Callable  # (Z) -> (T, d)  gradient of costs ONLY (no J^T λ)
+    dyn_eval: Callable  # (Z) -> (F, A, B, Jg, aux) in one pass
+    hess_blocks_aux: Callable  # (Z, lam, w, aux) -> (H, C), reusing aux
 
 
 def make_nlp_functions(nlp: StageNLP, *, exact_hessian: bool = True) -> NLPFunctions:
@@ -227,7 +239,30 @@ def make_nlp_functions(nlp: StageNLP, *, exact_hessian: bool = True) -> NLPFunct
 
     gn_pair_hess = _gn_pair_cost_hess()
 
+    def _cost_hess(Z, w):
+        """Cost(+inequality) Hessian blocks — no defect curvature."""
+        zz = jnp.concatenate([Z[:-1], Z[1:]], axis=1)  # (T-1, 2d)
+        Hp = gn_pair_hess(zz, ts_pair)
+        w_arg = w if m > 0 else jnp.zeros((T, 0), dtype=Z.dtype)
+        Hs = stage_hess(Z, ts, w_arg)  # (T, d, d)
+        Ht = term_hess(Z[-1])  # (d, d)
+        H = Hs
+        H = H.at[:-1].add(Hp[:, :d, :d])
+        H = H.at[1:].add(Hp[:, d:, d:])
+        H = H.at[-1].add(Ht)
+        C = Hp[:, :d, d:]  # (T-1, d, d)
+        return H, C
+
     def hess_blocks(Z, lam, w):
+        if nlp.analytic is not None:
+            H, C = _cost_hess(Z, w)
+            if exact_hessian:
+                _, _, _, aux = nlp.analytic.dyn_eval(
+                    Z, second_order=True
+                )
+                Hc, Cc = nlp.analytic.defect_curvature(lam, aux)
+                H, C = H + Hc, C + Cc
+            return H, C
         zz = jnp.concatenate([Z[:-1], Z[1:]], axis=1)  # (T-1, 2d)
         if exact_hessian:
             Hp = pair_hess(zz, ts_pair, lam)  # (T-1, 2d, 2d)
@@ -249,14 +284,48 @@ def make_nlp_functions(nlp: StageNLP, *, exact_hessian: bool = True) -> NLPFunct
     jac_B = jax.vmap(jax.jacfwd(nlp.defect, argnums=1))
     jac_g = jax.vmap(jax.jacfwd(nlp.ineq, argnums=0)) if m > 0 else None
 
+    def _jac_g_full(Z):
+        if m > 0:
+            return jac_g(Z, ts)
+        return jnp.zeros((T, 0, d), dtype=Z.dtype)
+
     def jac_blocks(Z):
+        if nlp.analytic is not None:
+            _, A, B, _ = nlp.analytic.dyn_eval(Z, second_order=False)
+            return A, B, _jac_g_full(Z)
         A = jac_A(Z[:-1], Z[1:], ts_pair)
         B = jac_B(Z[:-1], Z[1:], ts_pair)
-        if m > 0:
-            Jg = jac_g(Z, ts)
-        else:
-            Jg = jnp.zeros((T, 0, d), dtype=Z.dtype)
-        return A, B, Jg
+        return A, B, _jac_g_full(Z)
+
+    # ---- fused per-iteration evaluation ----------------------------------- #
+    grad_cost = jax.grad(total_cost)
+
+    def dyn_eval(Z, banks=None):
+        """(F, A, B, Jg, aux) in ONE propagator-bank pass (analytic) or via
+        the generic AD evaluators (aux=None).  `banks` are optional
+        precomputed per-instance banks (the IPM hoists the Pallas bank
+        kernel outside its per-instance vmap)."""
+        if nlp.analytic is not None:
+            F, A, B, aux = nlp.analytic.dyn_eval(
+                Z, second_order=exact_hessian, banks=banks
+            )
+            return F, A, B, _jac_g_full(Z), aux
+        F = defects(Z)
+        A = jac_A(Z[:-1], Z[1:], ts_pair)
+        B = jac_B(Z[:-1], Z[1:], ts_pair)
+        return F, A, B, _jac_g_full(Z), None
+
+    def hess_blocks_aux(Z, lam, w, aux):
+        if nlp.analytic is not None and aux is not None:
+            H, C = _cost_hess(Z, w)
+            if exact_hessian:
+                Hc, Cc = nlp.analytic.defect_curvature(lam, aux)
+                H, C = H + Hc, C + Cc
+            return H, C
+        return hess_blocks(Z, lam, w)
+
+    if nlp.analytic is not None:
+        defects = nlp.analytic.defects  # noqa: F811 (structured fast path)
 
     return NLPFunctions(
         total_cost=total_cost,
@@ -265,4 +334,7 @@ def make_nlp_functions(nlp: StageNLP, *, exact_hessian: bool = True) -> NLPFunct
         grad_lagrangian=grad_lagrangian,
         hess_blocks=hess_blocks,
         jac_blocks=jac_blocks,
+        grad_cost=grad_cost,
+        dyn_eval=dyn_eval,
+        hess_blocks_aux=hess_blocks_aux,
     )

@@ -22,3 +22,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# The suite builds hundreds of solver instances, each with its own jit cache
+# entries (solvers are identity-hashed jit statics); on small-RAM/2-vCPU
+# runners the accumulated XLA CPU executables eventually segfault the
+# process.  Drop compiled caches between test modules — fresh problems
+# recompile anyway, so this costs little.
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()
+    gc.collect()
