@@ -30,7 +30,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .kkt import KKTFactors, factor_kkt, solve_kkt, solve_with_factors
-from .kkt_lanes import solve_kkt_lanes, solve_kkt_lanes_scan
+from .kkt_lanes import (
+    LanesFactors,
+    resolve_kkt_lanes,
+    solve_kkt_lanes,
+    solve_kkt_lanes_scan,
+    to_lanes_layout,
+)
 from .lbfgs import lbfgs_compact, lbfgs_update
 from .options import SolverOptions
 from .stage_nlp import StageNLP, make_nlp_functions
@@ -137,11 +143,11 @@ class InteriorPointSolver:
         self.qn_lbfgs = (
             not self.exact_hessian and self.options.quasi_newton == "lbfgs"
         )
-        if self.qn_lbfgs and self.options.kkt_backend.startswith("lanes"):
+        if self.qn_lbfgs and self.options.kkt_backend == "lanes_scan":
             raise ValueError(
-                "kkt_backend='lanes' supports exact/gauss-newton Hessians "
-                "only; use kkt_backend='xla' with quasi_newton='lbfgs' or "
-                "quasi_newton='gauss-newton' with lanes"
+                "kkt_backend='lanes_scan' (the per-knot cross-validation "
+                "path) supports exact/gauss-newton Hessians only; use "
+                "kkt_backend='lanes' or 'xla' with quasi_newton='lbfgs'"
             )
         nlp_raw = self.nlp
         self.var_scale = np.ones(nlp_raw.d)
@@ -675,6 +681,82 @@ class InteriorPointSolver:
         ).astype(jnp.int32)
         return alpha, k_ls, accepted, m_alpha, flt_t_new, flt_p_new, ptr_new
 
+    def _dir_quants(self, state: IPMState, aux: "_IterAux", dzv):
+        """Slack/bound-dual directions + fraction-to-boundary steps for a
+        primal direction dzv (single instance; shared by the Newton and
+        second-order-correction steps)."""
+        m = self.nlp.m
+        dtype = state.Z.dtype
+        has_lb = jnp.asarray(self._has_lb, dtype)
+        has_ub = jnp.asarray(self._has_ub, dtype)
+        g, Jg, mu, tau = aux.g, aux.Jg, aux.mu, aux.tau
+        sl, su, Sig_l, Sig_u = aux.sl, aux.su, aux.Sig_l, aux.Sig_u
+        sig, w, zl, zu = state.sig, state.w, state.zl, state.zu
+
+        def max_step(val, dval, mask):
+            # largest alpha with val + alpha*dval >= (1-tau)*val on mask
+            ratio = jnp.where((dval < 0) & (mask > 0), -tau * val / dval, 1.0)
+            return jnp.min(ratio, initial=1.0)
+
+        if m > 0:
+            dsig_v = jnp.einsum("tmi,ti->tm", Jg, dzv) + (g - sig)
+            dw_v = mu / sig - w - (w / sig) * dsig_v
+        else:
+            dsig_v = sig
+            dw_v = w
+        dzl_v = jnp.where(has_lb > 0, mu / sl - zl - Sig_l * dzv, 0.0)
+        dzu_v = jnp.where(has_ub > 0, mu / su - zu + Sig_u * dzv, 0.0)
+        a_p = jnp.minimum(
+            max_step(sl, dzv, has_lb), max_step(su, -dzv, has_ub)
+        )
+        if m > 0:
+            a_p = jnp.minimum(a_p, max_step(sig, dsig_v, jnp.ones_like(sig)))
+        a_d = jnp.minimum(
+            max_step(zl, dzl_v, has_lb), max_step(zu, dzu_v, has_ub)
+        )
+        if m > 0:
+            a_d = jnp.minimum(a_d, max_step(w, dw_v, jnp.ones_like(w)))
+        return dsig_v, dw_v, dzl_v, dzu_v, a_p, a_d
+
+    def _soc_step(self, state: IPMState, aux: "_IterAux", dz, fac):
+        """Batched second-order-correction re-solve (Ipopt step A-5.1): the
+        corrected defect rhs is built per instance at the full trial step,
+        then re-solved against the KEPT factorization — batched OUTSIDE the
+        instance vmap so the lanes backend runs its fused rhs-only sweeps
+        (resolve_kkt_lanes; triangular work only, no refactorization)."""
+        opts = self.options
+        f = self.funcs
+        m = self.nlp.m
+        eval_prec = opts.eval_precision or opts.matmul_precision
+
+        def rhs(st, au, dzi):
+            dsig, _, _, _, a_pri, _ = self._dir_quants(st, au, dzi)
+            Z1 = st.Z + a_pri * dzi
+            sig1 = st.sig + a_pri * dsig if m > 0 else st.sig
+            with jax.default_matmul_precision(eval_prec):
+                F1 = f.defects(Z1)
+                g1 = f.ineqs(Z1) if m > 0 else None
+            theta0 = jnp.sum(jnp.abs(au.F))
+            theta1 = jnp.sum(jnp.abs(F1))
+            if m > 0:
+                theta0 = theta0 + jnp.sum(jnp.abs(au.g - st.sig))
+                theta1 = theta1 + jnp.sum(jnp.abs(g1 - sig1))
+            rnu_soc = -(a_pri * au.F + F1)
+            theta_grew = theta1 >= opts.kappa_soc * theta0
+            return rnu_soc, theta_grew
+
+        rnu_soc, theta_grew = jax.vmap(rhs)(state, aux, dz)
+        if isinstance(fac, LanesFactors):
+            dz_c, nu_c, ok_c = resolve_kkt_lanes(
+                fac, aux.rz_kkt, rnu_soc,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            dz_c, nu_c, ok_c = jax.vmap(solve_with_factors)(
+                fac, aux.rz_kkt, rnu_soc
+            )
+        return dz_c, nu_c, ok_c, theta_grew
+
     def _iteration_post(
         self,
         state: IPMState,
@@ -684,7 +766,7 @@ class InteriorPointSolver:
         ok,
         dw_used,
         delta_w,
-        fac: "KKTFactors | None" = None,
+        soc=None,
     ) -> IPMState:
         opts = self.options
         nlp = self.nlp
@@ -711,37 +793,9 @@ class InteriorPointSolver:
         now_converged = aux.now_converged
 
         # ---------------- recover slack/dual directions ---------------- #
-        def max_step(val, dval, mask):
-            # largest alpha with val + alpha*dval >= (1-tau)*val on mask
-            ratio = jnp.where((dval < 0) & (mask > 0), -tau * val / dval, 1.0)
-            return jnp.min(ratio, initial=1.0)
-
-        def dir_quants(dzv):
-            """Slack/bound-dual directions + fraction-to-boundary steps for a
-            primal direction dzv (shared by the Newton and SOC steps)."""
-            if m > 0:
-                dsig_v = jnp.einsum("tmi,ti->tm", Jg, dzv) + (g - sig)
-                dw_v = mu / sig - w - (w / sig) * dsig_v
-            else:
-                dsig_v = sig
-                dw_v = w
-            dzl_v = jnp.where(has_lb > 0, mu / sl - zl - Sig_l * dzv, 0.0)
-            dzu_v = jnp.where(has_ub > 0, mu / su - zu + Sig_u * dzv, 0.0)
-            a_p = jnp.minimum(
-                max_step(sl, dzv, has_lb), max_step(su, -dzv, has_ub)
-            )
-            if m > 0:
-                a_p = jnp.minimum(
-                    a_p, max_step(sig, dsig_v, jnp.ones_like(sig))
-                )
-            a_d = jnp.minimum(
-                max_step(zl, dzl_v, has_lb), max_step(zu, dzu_v, has_ub)
-            )
-            if m > 0:
-                a_d = jnp.minimum(a_d, max_step(w, dw_v, jnp.ones_like(w)))
-            return dsig_v, dw_v, dzl_v, dzu_v, a_p, a_d
-
-        dsig, dw_ineq, dzl, dzu, a_pri, a_dual = dir_quants(dz)
+        dsig, dw_ineq, dzl, dzu, a_pri, a_dual = self._dir_quants(
+            state, aux, dz
+        )
 
         # ---------------- line search ---------------- #
         nu_pen = 1.2 * jnp.maximum(
@@ -838,30 +892,18 @@ class InteriorPointSolver:
 
         # ---------------- second-order correction ---------------- #
         # Ipopt step A-5.1 (Wächter & Biegler 2006): when the full step was
-        # rejected and the constraint violation grew, re-solve the SAME KKT
-        # factorization with the corrected defect rhs -(alpha*F + F(trial))
-        # and take the corrected step if it wins on merit.  Costs one extra
-        # defect evaluation + a triangular re-solve (no refactorization).
-        if opts.soc and fac is not None:
-            Z1 = Z + a_pri * dz
-            sig1 = sig + a_pri * dsig if m > 0 else sig
-            with jax.default_matmul_precision(eval_prec):
-                F1 = f.defects(Z1)
-                g1 = f.ineqs(Z1) if m > 0 else None
-            theta0 = jnp.sum(jnp.abs(F))
-            theta1 = jnp.sum(jnp.abs(F1))
-            if m > 0:
-                theta0 = theta0 + jnp.sum(jnp.abs(g - sig))
-                theta1 = theta1 + jnp.sum(jnp.abs(g1 - sig1))
-            rnu_soc = -(a_pri * F + F1)
-            dz_c, nu_c, ok_c = solve_with_factors(fac, aux.rz_kkt, rnu_soc)
+        # rejected and the constraint violation grew, take the re-solved
+        # corrected step (produced by _soc_step against the SAME KKT
+        # factorization — triangular re-solves only) if it wins on merit.
+        if soc is not None:
+            dz_c, nu_c, ok_c, theta_grew = soc
             dz_c = dz_c * free
-            dsig_c, dw_c, dzl_c, dzu_c, a_p_c, a_d_c = dir_quants(dz_c)
+            dsig_c, dw_c, dzl_c, dzu_c, a_p_c, a_d_c = self._dir_quants(
+                state, aux, dz_c
+            )
             m_soc = merit(Z + a_p_c * dz_c, sig + a_p_c * dsig_c)
             m_ls = m_alpha  # merit at the accepted alpha (reused, not re-evaluated)
-            trigger = ((alpha < a_pri) | (~accepted)) & (
-                theta1 >= opts.kappa_soc * theta0
-            )
+            trigger = ((alpha < a_pri) | (~accepted)) & theta_grew
             use = (
                 trigger
                 & ok_c
@@ -980,8 +1022,10 @@ class InteriorPointSolver:
         try 0 first, then delta_last/3, then x8 per retry).
 
         Returns (dz, dlam, ok, dw_used, delta_w_new, fac) where fac is the
-        batched KKTFactors of the accepted factorization (None on the lanes
-        backend — SOC re-solves are an xla-backend feature for now)."""
+        accepted factorization for SOC re-solves — batched KKTFactors on the
+        xla backend, LanesFactors on the fused lanes backend, None otherwise
+        (lanes_scan, or L-BFGS mode where the SMW-corrected operator is not
+        kept)."""
         opts = self.options
         nlp = self.nlp
         H, C, A, Bj, rz, rnu = kkt_in[:6]
@@ -990,14 +1034,22 @@ class InteriorPointSolver:
         dtype = H.dtype
         eye_d = jnp.eye(nlp.d, dtype=dtype)
         lanes = opts.kkt_backend in ("lanes", "lanes_scan")
-        lanes_fn = (
-            solve_kkt_lanes_scan
-            if opts.kkt_backend == "lanes_scan"
-            else solve_kkt_lanes
+        fused_lanes = opts.kkt_backend == "lanes"
+        interp = jax.default_backend() != "tpu"
+        keep_fac = (
+            opts.soc
+            and not self.qn_lbfgs
+            and opts.kkt_backend != "lanes_scan"
         )
-        keep_fac = (not lanes) and opts.soc and not self.qn_lbfgs
 
         def _bwhere(okv, old, new):
+            if fused_lanes:
+                # lanes layout: padded batch is the LAST axis
+                Bp = old.shape[-1]
+                okp = jnp.pad(
+                    okv, (0, Bp - okv.shape[0]), constant_values=True
+                )
+                return jnp.where(okp, old, new)
             return jnp.where(okv.reshape((-1,) + (1,) * (old.ndim - 1)), old, new)
 
         def _smw_solve(fac, rzi, rnui, Ui, Mi):
@@ -1019,12 +1071,59 @@ class InteriorPointSolver:
             ok = ok0 & okw & jnp.all(jnp.isfinite(h))
             return dz, nu, ok
 
+        def _lanes_lbfgs_solve(Hreg):
+            """L-BFGS SMW on the fused lanes backend: factor the sigma*I +
+            barrier base once and solve the [rz | U] multi-column rhs in ONE
+            fused sweep pair, then combine the low-rank correction with small
+            per-instance (2*mem)^2 solves in XLA."""
+            T, d, s = nlp.T, nlp.d, nlp.s
+            k2 = U_lr.shape[-1]
+            RZ = jnp.concatenate(
+                [rz[..., None], U_lr.reshape(Bt, T, d, k2)], axis=-1
+            )
+            RNU = jnp.concatenate(
+                [rnu[..., None], jnp.zeros((Bt, T - 1, s, k2), dtype)],
+                axis=-1,
+            )
+            DZ, NU, okm = solve_kkt_lanes(
+                Hreg, C, A, Bj, RZ, RNU, opts.delta_c, interpret=interp
+            )
+            dz0, Wz = DZ[..., 0], DZ[..., 1:]
+            nu0, Wnu = NU[..., 0], NU[..., 1:]
+            Wzf = Wz.reshape(Bt, T * d, k2)
+            Gm = -M_lr + jnp.einsum("bnk,bnl->bkl", U_lr, Wzf)
+            h = jnp.linalg.solve(
+                Gm,
+                jnp.einsum("bnk,bn->bk", U_lr, dz0.reshape(Bt, -1))[..., None],
+            )[..., 0]
+            dz = dz0 - jnp.einsum("bnk,bk->bn", Wzf, h).reshape(Bt, T, d)
+            nu = nu0 - jnp.einsum("btsk,bk->bts", Wnu, h)
+            ok = okm & jnp.isfinite(h).all(axis=-1)
+            return dz, nu, ok
+
         def attempt(dw):
             Hreg = H + dw[:, None, None, None] * eye_d
-            if lanes:
-                dz, nu, ok = lanes_fn(
-                    Hreg, C, A, Bj, rz, rnu, opts.delta_c,
-                    interpret=jax.default_backend() != "tpu",
+            if lanes and not fused_lanes:  # lanes_scan cross-validation path
+                dz, nu, ok = solve_kkt_lanes_scan(
+                    Hreg, C, A, Bj, rz, rnu, opts.delta_c, interpret=interp
+                )
+                return dz, nu, ok, ()
+            if fused_lanes:
+                if self.qn_lbfgs:
+                    dz, nu, ok = _lanes_lbfgs_solve(Hreg)
+                    return dz, nu, ok, ()
+                if keep_fac:
+                    dz, nu, ok, facl = solve_kkt_lanes(
+                        Hreg, C, A, Bj, rz, rnu, opts.delta_c,
+                        interpret=interp, want_factors=True,
+                    )
+                    # constraint blocks are dw-independent; carry only the
+                    # dw-dependent factors
+                    return dz, nu, ok, (
+                        facl.LP, facl.LS, facl.XA, facl.G, facl.LPf
+                    )
+                dz, nu, ok = solve_kkt_lanes(
+                    Hreg, C, A, Bj, rz, rnu, opts.delta_c, interpret=interp
                 )
                 return dz, nu, ok, ()
             fac = jax.vmap(
@@ -1072,17 +1171,25 @@ class InteriorPointSolver:
             return (k + 1, dw_next, dw_used, dz, nu, ok | ok2, facc)
 
         T, d, s = nlp.T, nlp.d, nlp.s
-        fac0 = (
-            (
+        if keep_fac and fused_lanes:
+            Bp = ((Bt + 127) // 128) * 128
+            fac0 = (
+                jnp.zeros((T - 1, d, d, Bp), dtype),
+                jnp.zeros((T - 1, s, s, Bp), dtype),
+                jnp.zeros((T - 1, d, s, Bp), dtype),
+                jnp.zeros((T - 1, s, d, Bp), dtype),
+                jnp.zeros((d, d, Bp), dtype),
+            )
+        elif keep_fac:
+            fac0 = (
                 jnp.zeros((Bt, T - 1, d, d), dtype),
                 jnp.zeros((Bt, T - 1, s, s), dtype),
                 jnp.zeros((Bt, T - 1, d, s), dtype),
                 jnp.zeros((Bt, T - 1, s, d), dtype),
                 jnp.zeros((Bt, d, d), dtype),
             )
-            if keep_fac
-            else ()
-        )
+        else:
+            fac0 = ()
         init = (
             jnp.zeros((), jnp.int32),
             jnp.zeros((Bt,), dtype),
@@ -1098,11 +1205,17 @@ class InteriorPointSolver:
         delta_w_new = jnp.where(dw_used > 0, dw_used, delta_w0)
         dz = jnp.where(ok[:, None, None], dz, 0.0)
         dlam = -jnp.where(ok[:, None, None], nu, 0.0)
-        fac = (
-            KKTFactors(facc[0], facc[1], facc[2], facc[3], facc[4], C, A, Bj)
-            if keep_fac
-            else None
-        )
+        if keep_fac and fused_lanes:
+            fac = LanesFactors(
+                facc[0], facc[1], facc[2], facc[3], facc[4],
+                to_lanes_layout(C), to_lanes_layout(A), to_lanes_layout(Bj),
+            )
+        elif keep_fac:
+            fac = KKTFactors(
+                facc[0], facc[1], facc[2], facc[3], facc[4], C, A, Bj
+            )
+        else:
+            fac = None
         return dz, dlam, ok, dw_used, delta_w_new, fac
 
     def _step_impl(self, state: IPMState) -> IPMState:
@@ -1130,8 +1243,9 @@ class InteriorPointSolver:
                     st, au, a, b, c, d_, e, None
                 )
             )(state, aux, dz, dlam, ok, dw_used, delta_w_new)
+        soc_data = self._soc_step(state, aux, dz, fac)
         return jax.vmap(self._iteration_post)(
-            state, aux, dz, dlam, ok, dw_used, delta_w_new, fac
+            state, aux, dz, dlam, ok, dw_used, delta_w_new, soc_data
         )
 
     # ------------------------------------------------------------------ #

@@ -15,6 +15,13 @@ Two implementations share the same lanes linear algebra:
   - the per-step scan path (kept for cross-validation): a lax.scan whose
     body is one Pallas kernel per knot.
 
+The fused path supports:
+  - multi-column right-hand sides (rz (B, T, d, r), rnu (B, T-1, s, r)) —
+    the L-BFGS SMW correction solves [rz | U] in ONE sweep;
+  - `want_factors=True` — additionally returns LanesFactors so a rhs-only
+    re-solve (`resolve_kkt_lanes`, Ipopt's second-order correction) costs
+    two rhs sweeps with NO refactorization.
+
 All matrix-index loops are static Python unrolls (d, s <= ~40), producing a
 few hundred vector ops per kernel — friendly to Mosaic.  Arrays are
 transposed to (..., lanes) once per solve.
@@ -26,15 +33,47 @@ mode against the XLA path and dense solves.
 from __future__ import annotations
 
 import functools
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["solve_kkt_lanes", "solve_kkt_lanes_scan"]
+__all__ = [
+    "solve_kkt_lanes",
+    "solve_kkt_lanes_scan",
+    "resolve_kkt_lanes",
+    "LanesFactors",
+    "to_lanes_layout",
+]
 
 _L = 128  # lane tile
+
+
+def to_lanes_layout(x):
+    """Pad the leading batch axis to a multiple of 128 and move it LAST
+    (the lanes layout used by LanesFactors and the fused kernels)."""
+    Bt = x.shape[0]
+    Bp = ((Bt + _L - 1) // _L) * _L
+    if Bp != Bt:
+        x = jnp.pad(x, [(0, Bp - Bt)] + [(0, 0)] * (x.ndim - 1))
+    return jnp.moveaxis(x, 0, -1)
+
+
+class LanesFactors(NamedTuple):
+    """Stage-wise factorization in lanes layout (batch padded to 128 in the
+    LAST axis).  Carries the constraint blocks so `resolve_kkt_lanes` needs
+    only the new rhs — the cheap path for second-order corrections."""
+
+    LP: Any  # (T-1, d, d, Bp) Cholesky of the eliminated primal blocks
+    LS: Any  # (T-1, s, s, Bp) Cholesky of the stage Schur complements
+    XA: Any  # (T-1, d, s, Bp) P^{-1} A^T
+    G: Any  # (T-1, s, d, Bp)  A P^{-1} C - B
+    LPf: Any  # (d, d, Bp)     Cholesky of the terminal block
+    Cl: Any  # (T-1, d, d, Bp)
+    Al: Any  # (T-1, s, d, Bp)
+    Bl: Any  # (T-1, s, d, Bp)
 
 
 # --------------------------------------------------------------------------- #
@@ -120,7 +159,7 @@ def _mt(Am):
 
 
 # --------------------------------------------------------------------------- #
-# per-step kernels
+# per-step kernels (scan variant)
 # --------------------------------------------------------------------------- #
 
 
@@ -246,8 +285,8 @@ def _make_bwd_step(d, s, interpret):
 # --------------------------------------------------------------------------- #
 
 
-def _to_lanes(H, C, A, B, rz, rnu):
-    """batch-first -> lanes layout (T, rows, cols, Bp), batch padded to 128."""
+def _mats_to_lanes(H, C, A, B):
+    """Matrix blocks batch-first -> lanes layout, batch padded to 128."""
     Bt, T, d, _ = H.shape
     Bp = ((Bt + _L - 1) // _L) * _L
 
@@ -265,18 +304,29 @@ def _to_lanes(H, C, A, B, rz, rnu):
         )
         Hp = Hp.at[Bt:].set(eye)
     Cp, Ap, Bjp = pad(C), pad(A), pad(B)
-    rzp, rnup = pad(rz), pad(rnu)
 
     def lanes(x):
         return jnp.moveaxis(x, 0, -1)
 
-    Hl = lanes(Hp)  # (T, d, d, Bp)
-    Cl = lanes(Cp)
-    Al = lanes(Ap)
-    Bl = lanes(Bjp)
-    rzl = lanes(rzp)[..., None, :]  # (T, d, 1, Bp)
-    rnul = lanes(rnup)[..., None, :]  # (T-1, s, 1, Bp)
-    return Hl, Cl, Al, Bl, rzl, rnul, Bt
+    return lanes(Hp), lanes(Cp), lanes(Ap), lanes(Bjp), Bp
+
+
+def _rhs_to_lanes(x, Bp):
+    """rhs batch-first (Bt, T, rows[, r]) -> lanes (T, rows, r, Bp)."""
+    if x.ndim == 3:
+        x = x[..., None]
+    Bt = x.shape[0]
+    if Bp != Bt:
+        x = jnp.pad(x, [(0, Bp - Bt)] + [(0, 0)] * (x.ndim - 1))
+    return jnp.moveaxis(x, 0, -1)
+
+
+def _to_lanes(H, C, A, B, rz, rnu):
+    """batch-first -> lanes layout (T, rows, cols, Bp), batch padded to 128."""
+    Hl, Cl, Al, Bl, Bp = _mats_to_lanes(H, C, A, B)
+    rzl = _rhs_to_lanes(rz, Bp)  # (T, d, r, Bp)
+    rnul = _rhs_to_lanes(rnu, Bp)  # (T-1, s, r, Bp)
+    return Hl, Cl, Al, Bl, rzl, rnul, H.shape[0]
 
 
 # --------------------------------------------------------------------------- #
@@ -285,15 +335,20 @@ def _to_lanes(H, C, A, B, rz, rnu):
 
 
 def _fwd_sweep_kernel(
-    H_ref, C_ref, A_ref, B_ref, rz_ref, rnu_ref,
-    LP_ref, LS_ref, XA_ref, qs_ref, Dfin_ref, qdfin_ref,
-    Pd, qd,
-    *, d: int, s: int, delta_c: float, Tm1: int,
+    H_ref, C_ref, A_ref, B_ref, rz_ref, rnu_ref, *refs,
+    d: int, s: int, delta_c: float, Tm1: int, save_g: bool,
 ):
     """One forward-elimination step per grid iteration; the Riccati carry is
     held as a DELTA in VMEM scratch so step t consumes only knot-t blocks:
         P_t = H_t + Delta_t,   Delta_0 = 0.
+    rhs blocks carry r columns ((d, r, L)); with save_g the per-knot Schur
+    cross block G is also written out (the rhs-only re-solve needs it).
     """
+    if save_g:
+        (LP_ref, LS_ref, XA_ref, qs_ref, Dfin_ref, qdfin_ref, G_ref,
+         Pd, qd) = refs
+    else:
+        LP_ref, LS_ref, XA_ref, qs_ref, Dfin_ref, qdfin_ref, Pd, qd = refs
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -310,7 +365,7 @@ def _fwd_sweep_kernel(
     LP = _chol(P, d)
     XA = _chol_solve(LP, _mt(A), d)  # (d, s, L)
     XC = _chol_solve(LP, C, d)  # (d, d, L)
-    x = _chol_solve(LP, q, d)  # (d, 1, L)
+    x = _chol_solve(LP, q, d)  # (d, r, L)
 
     S = _mm(A, XA) + delta_c * jnp.eye(s, dtype=P.dtype)[:, :, None]
     LS = _chol(S, s)
@@ -326,10 +381,37 @@ def _fwd_sweep_kernel(
     LS_ref[0] = LS
     XA_ref[0] = XA
     qs_ref[0] = q
+    if save_g:
+        G_ref[0] = G
 
     @pl.when(t == Tm1 - 1)
     def _():
         Dfin_ref[...] = Pd[...]
+        qdfin_ref[...] = qd[...]
+
+
+def _rhs_fwd_sweep_kernel(
+    LP_ref, LS_ref, G_ref, C_ref, A_ref, rz_ref, rnu_ref,
+    qs_ref, qdfin_ref,
+    qd,
+    *, d: int, s: int, Tm1: int,
+):
+    """Forward rhs elimination against an EXISTING factorization — the
+    triangular-solves-only half of the second-order-correction re-solve."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        qd[...] = jnp.zeros_like(qd)
+
+    q = rz_ref[0] + qd[...]
+    x = _chol_solve(LP_ref[0], q, d)  # (d, r, L)
+    y = _chol_solve(LS_ref[0], _mm(A_ref[0], x) - rnu_ref[0], s)
+    qd[...] = _mm(_mt(G_ref[0]), y) - _mm(_mt(C_ref[0]), x)
+    qs_ref[0] = q
+
+    @pl.when(t == Tm1 - 1)
+    def _():
         qdfin_ref[...] = qd[...]
 
 
@@ -358,71 +440,148 @@ def _bwd_sweep_kernel(
     nu_ref[0] = y
 
 
-@functools.partial(jax.jit, static_argnames=("delta_c", "interpret"))
-def solve_kkt_lanes(H, C, A, B, rz, rnu, delta_c: float, *, interpret: bool = False):
+def _spec_t(*rowcol):
+    # per-knot block, forward order
+    return pl.BlockSpec(
+        (1, *rowcol, _L), lambda b, t: (t, *(0,) * len(rowcol), b)
+    )
+
+
+def _spec_fix(*rowcol):
+    # knot-independent block (revisited across t)
+    return pl.BlockSpec(
+        (*rowcol, _L), lambda b, t: (*(0,) * len(rowcol), b)
+    )
+
+
+def _rspec_t(Tm1, *rowcol):
+    # per-knot block, REVERSED order (grid step t touches knot T-2-t)
+    return pl.BlockSpec(
+        (1, *rowcol, _L),
+        lambda b, t: (Tm1 - 1 - t, *(0,) * len(rowcol), b),
+    )
+
+
+def _bwd_sweep(LPs, LSs, XAs, qs, Cl, Al, Bl, rnul, dz_last, *, interpret):
+    """Backward-substitution sweep shared by the solve and re-solve paths."""
+    Tm1, d, _, Bp = LPs.shape
+    s = LSs.shape[1]
+    r = qs.shape[2]
+    nb = Bp // _L
+    dtype = LPs.dtype
+    bwd_kernel = functools.partial(_bwd_sweep_kernel, d=d, s=s)
+    return pl.pallas_call(
+        bwd_kernel,
+        grid=(nb, Tm1),
+        in_specs=[
+            _rspec_t(Tm1, d, d),  # LP
+            _rspec_t(Tm1, s, s),  # LS
+            _rspec_t(Tm1, d, s),  # XA
+            _rspec_t(Tm1, d, r),  # q saved
+            _rspec_t(Tm1, d, d),  # C
+            _rspec_t(Tm1, s, d),  # A
+            _rspec_t(Tm1, s, d),  # B
+            _rspec_t(Tm1, s, r),  # rnu
+            _spec_fix(d, r),  # dz_last
+        ],
+        out_specs=[_rspec_t(Tm1, d, r), _rspec_t(Tm1, s, r)],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tm1, d, r, Bp), dtype),
+            jax.ShapeDtypeStruct((Tm1, s, r, Bp), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((d, r, _L), dtype)],
+        interpret=interpret,
+    )(LPs, LSs, XAs, qs, Cl, Al, Bl, rnul, dz_last)
+
+
+def _from_lanes_solution(dz_rest, dz_last, nus, Bt, squeeze):
+    dz_l = jnp.concatenate([dz_rest, dz_last[None]], axis=0)  # (T, d, r, Bp)
+    dz = jnp.moveaxis(dz_l, -1, 0)[:Bt]  # (Bt, T, d, r)
+    nu = jnp.moveaxis(nus, -1, 0)[:Bt]  # (Bt, T-1, s, r)
+    if squeeze:
+        dz = dz[..., 0]
+        nu = nu[..., 0]
+    red = tuple(range(1, dz.ndim))
+    ok = jnp.isfinite(dz).all(axis=red) & jnp.isfinite(nu).all(
+        axis=tuple(range(1, nu.ndim))
+    )
+    return dz, nu, ok
+
+
+@functools.partial(
+    jax.jit, static_argnames=("delta_c", "interpret", "want_factors")
+)
+def solve_kkt_lanes(
+    H, C, A, B, rz, rnu, delta_c: float, *,
+    interpret: bool = False, want_factors: bool = False,
+):
     """Batched block-tridiagonal KKT solve in lanes layout (fused sweeps).
 
     Inputs in standard batch-first layout: H (Bt, T, d, d), C (Bt, T-1, d, d),
-    A/B (Bt, T-1, s, d), rz (Bt, T, d), rnu (Bt, T-1, s).  The batch is
-    padded to a multiple of 128 internally.  Returns (dz, nu, ok) matching
-    solver.kkt.solve_kkt vmapped over the batch.
+    A/B (Bt, T-1, s, d), rz (Bt, T, d) or multi-column (Bt, T, d, r),
+    rnu (Bt, T-1, s[, r]).  The batch is padded to a multiple of 128
+    internally.  Returns (dz, nu, ok) matching solver.kkt.solve_kkt vmapped
+    over the batch; with want_factors=True returns (dz, nu, ok, fac) where
+    fac is a LanesFactors for `resolve_kkt_lanes` rhs-only re-solves.
     """
     Bt, T, d, _ = H.shape
     s = A.shape[2]
-    Hl, Cl, Al, Bl, rzl, rnul, _ = _to_lanes(H, C, A, B, rz, rnu)
-    Bp = Hl.shape[-1]
+    squeeze = rz.ndim == 3
+    Hl, Cl, Al, Bl, Bp = _mats_to_lanes(H, C, A, B)
+    rzl = _rhs_to_lanes(rz, Bp)
+    rnul = _rhs_to_lanes(rnu, Bp)
+    r = rzl.shape[2]
     nb = Bp // _L
     Tm1 = T - 1
     dtype = Hl.dtype
 
-    def spec_t(*rowcol):
-        # per-knot block, forward order
-        return pl.BlockSpec(
-            (1, *rowcol, _L), lambda b, t: (t, *(0,) * len(rowcol), b)
-        )
-
-    def spec_fix(*rowcol):
-        # knot-independent block (revisited across t)
-        return pl.BlockSpec(
-            (*rowcol, _L), lambda b, t: (*(0,) * len(rowcol), b)
-        )
-
     fwd_kernel = functools.partial(
-        _fwd_sweep_kernel, d=d, s=s, delta_c=float(delta_c), Tm1=Tm1
+        _fwd_sweep_kernel, d=d, s=s, delta_c=float(delta_c), Tm1=Tm1,
+        save_g=want_factors,
     )
-    LPs, LSs, XAs, qs, Dfin, qdfin = pl.pallas_call(
+    out_specs = [
+        _spec_t(d, d),  # LP
+        _spec_t(s, s),  # LS
+        _spec_t(d, s),  # XA
+        _spec_t(d, r),  # q saved
+        _spec_fix(d, d),  # Delta_final
+        _spec_fix(d, r),  # qdelta_final
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Tm1, d, d, Bp), dtype),
+        jax.ShapeDtypeStruct((Tm1, s, s, Bp), dtype),
+        jax.ShapeDtypeStruct((Tm1, d, s, Bp), dtype),
+        jax.ShapeDtypeStruct((Tm1, d, r, Bp), dtype),
+        jax.ShapeDtypeStruct((d, d, Bp), dtype),
+        jax.ShapeDtypeStruct((d, r, Bp), dtype),
+    ]
+    if want_factors:
+        out_specs.append(_spec_t(s, d))  # G
+        out_shape.append(jax.ShapeDtypeStruct((Tm1, s, d, Bp), dtype))
+    outs = pl.pallas_call(
         fwd_kernel,
         grid=(nb, Tm1),
         in_specs=[
-            spec_t(d, d),  # H_t (t = 0..T-2)
-            spec_t(d, d),  # C_t
-            spec_t(s, d),  # A_t
-            spec_t(s, d),  # B_t
-            spec_t(d, 1),  # rz_t
-            spec_t(s, 1),  # rnu_t
+            _spec_t(d, d),  # H_t (t = 0..T-2)
+            _spec_t(d, d),  # C_t
+            _spec_t(s, d),  # A_t
+            _spec_t(s, d),  # B_t
+            _spec_t(d, r),  # rz_t
+            _spec_t(s, r),  # rnu_t
         ],
-        out_specs=[
-            spec_t(d, d),  # LP
-            spec_t(s, s),  # LS
-            spec_t(d, s),  # XA
-            spec_t(d, 1),  # q saved
-            spec_fix(d, d),  # Delta_final
-            spec_fix(d, 1),  # qdelta_final
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Tm1, d, d, Bp), dtype),
-            jax.ShapeDtypeStruct((Tm1, s, s, Bp), dtype),
-            jax.ShapeDtypeStruct((Tm1, d, s, Bp), dtype),
-            jax.ShapeDtypeStruct((Tm1, d, 1, Bp), dtype),
-            jax.ShapeDtypeStruct((d, d, Bp), dtype),
-            jax.ShapeDtypeStruct((d, 1, Bp), dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((d, d, _L), dtype),
-            pltpu.VMEM((d, 1, _L), dtype),
+            pltpu.VMEM((d, r, _L), dtype),
         ],
         interpret=interpret,
     )(Hl[:Tm1], Cl, Al, Bl, rzl[:Tm1], rnul)
+    if want_factors:
+        LPs, LSs, XAs, qs, Dfin, qdfin, Gs = outs
+    else:
+        LPs, LSs, XAs, qs, Dfin, qdfin = outs
+        Gs = None
 
     # terminal block: P_fin = H_{T-1} + Delta, solve for dz_{T-1}
     P_fin = Hl[Tm1] + Dfin
@@ -431,42 +590,65 @@ def solve_kkt_lanes(H, C, A, B, rz, rnu, delta_c: float, *, interpret: bool = Fa
     LPf = _chol(P_fin, d)
     dz_last = _chol_solve(LPf, q_fin, d)
 
-    def rspec_t(*rowcol):
-        # per-knot block, REVERSED order (grid step t touches knot T-2-t)
-        return pl.BlockSpec(
-            (1, *rowcol, _L),
-            lambda b, t: (Tm1 - 1 - t, *(0,) * len(rowcol), b),
-        )
+    dz_rest, nus = _bwd_sweep(
+        LPs, LSs, XAs, qs, Cl, Al, Bl, rnul, dz_last, interpret=interpret
+    )
+    dz, nu, ok = _from_lanes_solution(dz_rest, dz_last, nus, Bt, squeeze)
+    if want_factors:
+        fac = LanesFactors(LPs, LSs, XAs, Gs, LPf, Cl, Al, Bl)
+        return dz, nu, ok, fac
+    return dz, nu, ok
 
-    bwd_kernel = functools.partial(_bwd_sweep_kernel, d=d, s=s)
-    dz_rest, nus = pl.pallas_call(
-        bwd_kernel,
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def resolve_kkt_lanes(fac: LanesFactors, rz, rnu, *, interpret: bool = False):
+    """Rhs-only re-solve against an existing lanes factorization.
+
+    rz (Bt, T, d[, r]), rnu (Bt, T-1, s[, r]) batch-first.  Two rhs sweeps
+    (forward elimination + backward substitution), no Cholesky work — the
+    lanes analog of kkt.solve_with_factors, used by the second-order
+    correction (Ipopt step A-5.1)."""
+    LPs, LSs, XAs, Gs, LPf, Cl, Al, Bl = fac
+    Tm1, d, _, Bp = LPs.shape
+    s = LSs.shape[1]
+    Bt = rz.shape[0]
+    squeeze = rz.ndim == 3
+    rzl = _rhs_to_lanes(rz, Bp)
+    rnul = _rhs_to_lanes(rnu, Bp)
+    r = rzl.shape[2]
+    nb = Bp // _L
+    dtype = LPs.dtype
+
+    rhs_kernel = functools.partial(
+        _rhs_fwd_sweep_kernel, d=d, s=s, Tm1=Tm1
+    )
+    qs, qdfin = pl.pallas_call(
+        rhs_kernel,
         grid=(nb, Tm1),
         in_specs=[
-            rspec_t(d, d),  # LP
-            rspec_t(s, s),  # LS
-            rspec_t(d, s),  # XA
-            rspec_t(d, 1),  # q saved
-            rspec_t(d, d),  # C
-            rspec_t(s, d),  # A
-            rspec_t(s, d),  # B
-            rspec_t(s, 1),  # rnu
-            spec_fix(d, 1),  # dz_last
+            _spec_t(d, d),  # LP
+            _spec_t(s, s),  # LS
+            _spec_t(s, d),  # G
+            _spec_t(d, d),  # C
+            _spec_t(s, d),  # A
+            _spec_t(d, r),  # rz_t
+            _spec_t(s, r),  # rnu_t
         ],
-        out_specs=[rspec_t(d, 1), rspec_t(s, 1)],
+        out_specs=[_spec_t(d, r), _spec_fix(d, r)],
         out_shape=[
-            jax.ShapeDtypeStruct((Tm1, d, 1, Bp), dtype),
-            jax.ShapeDtypeStruct((Tm1, s, 1, Bp), dtype),
+            jax.ShapeDtypeStruct((Tm1, d, r, Bp), dtype),
+            jax.ShapeDtypeStruct((d, r, Bp), dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((d, 1, _L), dtype)],
+        scratch_shapes=[pltpu.VMEM((d, r, _L), dtype)],
         interpret=interpret,
-    )(LPs, LSs, XAs, qs, Cl, Al, Bl, rnul, dz_last)
+    )(LPs, LSs, Gs, Cl, Al, rzl[:Tm1], rnul)
 
-    dz_l = jnp.concatenate([dz_rest, dz_last[None]], axis=0)  # (T, d, 1, Bp)
-    dz = jnp.moveaxis(dz_l[:, :, 0, :], -1, 0)[:Bt]  # (Bt, T, d)
-    nu = jnp.moveaxis(nus[:, :, 0, :], -1, 0)[:Bt]  # (Bt, T-1, s)
-    ok = jnp.isfinite(dz).all(axis=(1, 2)) & jnp.isfinite(nu).all(axis=(1, 2))
-    return dz, nu, ok
+    q_fin = rzl[Tm1] + qdfin
+    dz_last = _chol_solve(LPf, q_fin, d)
+    dz_rest, nus = _bwd_sweep(
+        LPs, LSs, XAs, qs, Cl, Al, Bl, rnul, dz_last, interpret=interpret
+    )
+    return _from_lanes_solution(dz_rest, dz_last, nus, Bt, squeeze)
 
 
 # --------------------------------------------------------------------------- #

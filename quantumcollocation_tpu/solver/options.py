@@ -61,10 +61,12 @@ class SolverOptions:
     # second-order correction (Ipopt step A-5.1): when the full step is
     # rejected and constraint violation grew, re-solve the SAME KKT
     # factorization with a corrected defect rhs and take that step if it
-    # wins on merit.  Reuses the factorization (triangular solves only).
-    # Supported by the exact/Gauss-Newton Hessian modes on every KKT
-    # backend; silently inert with quasi_newton="lbfgs" (the SMW-corrected
-    # factorization is not kept — enable soc with gauss-newton instead).
+    # wins on merit.  Reuses the factorization (triangular solves only; on
+    # the lanes backend, fused rhs-only Pallas sweeps).  Supported by the
+    # exact/Gauss-Newton Hessian modes on the "xla" and "lanes" backends;
+    # inert on "lanes_scan" (cross-validation path keeps no factors) and
+    # with quasi_newton="lbfgs" (the SMW-corrected factorization is not
+    # kept — enable soc with gauss-newton instead).
     soc: bool = False
     kappa_soc: float = 0.99
     # dual recalculation (least-squares multiplier resets; the reference's

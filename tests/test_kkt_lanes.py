@@ -7,6 +7,7 @@ import numpy as np
 import quantumcollocation_tpu as qct
 from quantumcollocation_tpu.solver.kkt import solve_kkt
 from quantumcollocation_tpu.solver.kkt_lanes import (
+    resolve_kkt_lanes,
     solve_kkt_lanes,
     solve_kkt_lanes_scan,
 )
@@ -84,6 +85,92 @@ class TestLanesKKT:
         )
         assert dz.shape == (3, 6, 5)
         assert bool(ok.all())
+
+    def test_resolve_with_factors_matches_fresh_solve(self):
+        # want_factors + rhs-only re-solve (the SOC path): a re-solve with a
+        # NEW rhs against the kept lanes factorization must match a fresh
+        # factor+solve of the same system
+        H, C, A, B, rz, rnu = _random_kkt(Bt=4, T=7, seed=5)
+        args = [jnp.asarray(x) for x in (H, C, A, B, rz, rnu)]
+        dz, nu, ok, fac = solve_kkt_lanes(
+            *args, 1e-8, interpret=True, want_factors=True
+        )
+        assert bool(ok.all())
+        rng = np.random.default_rng(6)
+        rz2 = jnp.asarray(rng.normal(size=rz.shape))
+        rnu2 = jnp.asarray(rng.normal(size=rnu.shape))
+        dz_r, nu_r, ok_r = resolve_kkt_lanes(fac, rz2, rnu2, interpret=True)
+        dz_ref, nu_ref, _ = solve_kkt_lanes(
+            *args[:4], rz2, rnu2, 1e-8, interpret=True
+        )
+        assert bool(ok_r.all())
+        np.testing.assert_allclose(np.asarray(dz_r), np.asarray(dz_ref), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(nu_r), np.asarray(nu_ref), atol=1e-10)
+
+    def test_multi_column_rhs(self):
+        # r-column rhs (the L-BFGS SMW path) solves each column exactly as a
+        # separate single-rhs solve would
+        H, C, A, B, _, _ = _random_kkt(Bt=3, T=5, seed=7)
+        rng = np.random.default_rng(8)
+        r = 3
+        RZ = jnp.asarray(rng.normal(size=(3, 5, 5, r)))
+        RNU = jnp.asarray(rng.normal(size=(3, 4, 3, r)))
+        args = [jnp.asarray(x) for x in (H, C, A, B)]
+        DZ, NU, ok = solve_kkt_lanes(*args, RZ, RNU, 1e-8, interpret=True)
+        assert DZ.shape == (3, 5, 5, r) and NU.shape == (3, 4, 3, r)
+        assert bool(ok.all())
+        for k in range(r):
+            dzk, nuk, _ = solve_kkt_lanes(
+                *args, RZ[..., k], RNU[..., k], 1e-8, interpret=True
+            )
+            np.testing.assert_allclose(
+                np.asarray(DZ[..., k]), np.asarray(dzk), atol=1e-10
+            )
+            np.testing.assert_allclose(
+                np.asarray(NU[..., k]), np.asarray(nuk), atol=1e-10
+            )
+
+    def test_soc_lanes_matches_xla(self):
+        # second-order correction on the lanes backend (kept factorization +
+        # fused rhs-only re-solve sweeps) must track the xla SOC path
+        sys = qct.QuantumSystem(qct.GATES["Z"], [qct.GATES["X"], qct.GATES["Y"]])
+        objs = {}
+        for backend in ("xla", "lanes"):
+            prob = qct.UnitarySmoothPulseProblem(
+                sys, qct.GATES["H"], 11, 0.2,
+                ipopt_options=qct.SolverOptions(
+                    print_level=1, tol=1e-7, soc=True, kkt_backend=backend
+                ),
+                piccolo_options=qct.PiccoloOptions(verbose=False),
+                rng=np.random.default_rng(0),
+            )
+            res = prob.solver.solve(prob.initial_decision(1), max_iter=12)
+            objs[backend] = float(res.objective[0])
+        assert abs(objs["xla"] - objs["lanes"]) < 1e-8 * max(
+            1.0, abs(objs["xla"])
+        )
+
+    def test_lbfgs_lanes_matches_xla(self):
+        # quasi_newton="lbfgs" on the lanes backend (multi-column SMW solve)
+        # must track the xla SMW path
+        sys = qct.QuantumSystem(qct.GATES["Z"], [qct.GATES["X"], qct.GATES["Y"]])
+        objs = {}
+        for backend in ("xla", "lanes"):
+            prob = qct.UnitarySmoothPulseProblem(
+                sys, qct.GATES["H"], 11, 0.2,
+                ipopt_options=qct.SolverOptions(
+                    print_level=1, tol=1e-7, kkt_backend=backend
+                ),
+                piccolo_options=qct.PiccoloOptions(
+                    verbose=False, eval_hessian=False
+                ),
+                rng=np.random.default_rng(0),
+            )
+            res = prob.solver.solve(prob.initial_decision(1), max_iter=15)
+            objs[backend] = float(res.objective[0])
+        assert abs(objs["xla"] - objs["lanes"]) < 1e-8 * max(
+            1.0, abs(objs["xla"])
+        )
 
     def test_full_solve_with_lanes_backend(self):
         sys = qct.QuantumSystem(qct.GATES["Z"], [qct.GATES["X"], qct.GATES["Y"]])
