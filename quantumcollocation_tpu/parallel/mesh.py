@@ -15,7 +15,62 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "batched_solve"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "batched_solve",
+    "init_distributed",
+    "make_global_batch",
+]
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    local_device_ids=None,
+):
+    """Multi-host (DCN) wiring: initialize the JAX distributed runtime so
+    `jax.devices()` spans every host's chips and one `Mesh` covers the pod.
+
+    On Cloud TPU pods all arguments auto-detect (call with no args in each
+    host process).  After this, a real pod run is:
+
+        init_distributed()
+        mesh = make_mesh()                      # all global devices
+        Z0 = make_global_batch(local_Z0, mesh)  # per-host shards -> global
+        res = problem.solver.solve(Z0)
+
+    The solve compiles identically to the single-host path; batch collectives
+    (the all-converged vote) ride ICI within a slice and DCN across slices.
+    Idempotent: a second call is a no-op.
+    """
+    if jax.process_count() > 1 or getattr(
+        jax.distributed, "is_initialized", lambda: False
+    )():
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kwargs)
+
+
+def make_global_batch(local_batch, mesh: Mesh, axis_name: str = "batch"):
+    """Assemble a globally-sharded batch array from each process's local
+    shard (multi-host analog of shard_batch): host k contributes rows
+    [k*B_local, (k+1)*B_local) of the global batch."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        local_batch,
+    )
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "batch") -> Mesh:

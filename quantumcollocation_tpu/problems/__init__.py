@@ -20,8 +20,18 @@ from .quantum_state_smooth_pulse import QuantumStateSmoothPulseProblem
 from .quantum_state_minimum_time import QuantumStateMinimumTimeProblem
 from .quantum_state_sampling import QuantumStateSamplingProblem
 from .density_operator_smooth_pulse import DensityOperatorSmoothPulseProblem
+from .multigoal import (
+    UnitaryMultiGoalProblem,
+    multigoal_initial_decisions,
+    multigoal_rollout_fidelities,
+    random_su,
+)
 
 __all__ = [
+    "UnitaryMultiGoalProblem",
+    "multigoal_initial_decisions",
+    "multigoal_rollout_fidelities",
+    "random_su",
     "QuantumControlProblem",
     "UnitarySmoothPulseProblem",
     "UnitaryMinimumTimeProblem",

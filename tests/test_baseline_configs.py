@@ -133,4 +133,6 @@ class TestTransmonLeakage:
             rng=np.random.default_rng(11),
         )
         plain.solve(max_iter=70)
-        assert total_leakage(prob) < total_leakage(plain) * 1.05
+        # strict decrease (reference-strength assertion; measured ratio ~0.66
+        # at this config, scripts/calibrate_behavior_tests.py)
+        assert total_leakage(prob) < total_leakage(plain)

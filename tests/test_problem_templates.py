@@ -113,11 +113,12 @@ class TestUnitarySampling:
                 z * qct.PAULIS["Z"], [qct.PAULIS["X"], qct.PAULIS["Y"]]
             )
 
-        T, dt = 40, 0.2
+        T, dt = 50, 0.2
         sampled = qct.UnitarySamplingProblem(
-            [sys_with_zeta(0.0), sys_with_zeta(0.05)],
+            [sys_with_zeta(-0.05), sys_with_zeta(0.0), sys_with_zeta(0.05)],
             qct.GATES["H"], T, dt,
             ipopt_options=TOL, piccolo_options=QUIET,
+            rng=np.random.default_rng(1234),
         )
         assert "Ũ⃗_system_1" in sampled.trajectory.names
         assert "Ũ⃗_system_2" in sampled.trajectory.names
@@ -126,45 +127,32 @@ class TestUnitarySampling:
         plain = qct.UnitarySmoothPulseProblem(
             sys_with_zeta(0.0), qct.GATES["H"], T, dt,
             ipopt_options=TOL, piccolo_options=QUIET,
+            rng=np.random.default_rng(1234),
         )
         plain.solve(max_iter=30)
 
-        # sweep drift perturbations, compare total fidelity (reference
-        # pattern unitary_sampling_problem.jl:233-244)
-        def sweep_fid(traj):
-            total = 0.0
-            for z in np.arange(-0.05, 0.051, 0.025):
-                total += float(
-                    qct.unitary_rollout_fidelity(
-                        traj, sys_with_zeta(z),
-                        state_name=(
-                            "Ũ⃗_system_1"
-                            if "Ũ⃗_system_1" in traj.names
-                            else "Ũ⃗"
-                        ),
-                    )
-                )
-            return total
-
-        # need goal/initial under the sampled state name; build helper trajs
+        # sweep drift perturbations ζ ∈ -0.05:0.01:0.05 and assert the
+        # sampled solve BEATS the non-robust one summed over the sweep —
+        # the reference's assertion (unitary_sampling_problem.jl:233-244).
+        # Measured margin at this config: 1.14% (scripts/
+        # calibrate_behavior_tests.py).
+        goal = qct.operator_to_iso_vec(qct.GATES["H"])
+        v0 = qct.operator_to_iso_vec(np.eye(2, dtype=complex))
         f_sampled = 0.0
         f_plain = 0.0
-        for z in np.arange(-0.05, 0.051, 0.025):
+        for z in np.arange(-0.05, 0.0501, 0.01):
             sysz = sys_with_zeta(z)
-            a = sampled.trajectory["a"]
-            dts = sampled.trajectory.get_timesteps()
-            v0 = qct.operator_to_iso_vec(np.eye(2, dtype=complex))
-            Us = qct.unitary_rollout(v0, a, dts, sysz)
-            f_sampled += float(qct.iso_vec_unitary_fidelity(
-                Us[-1], qct.operator_to_iso_vec(qct.GATES["H"])
-            ))
-            a2 = plain.trajectory["a"]
-            dts2 = plain.trajectory.get_timesteps()
-            Us2 = qct.unitary_rollout(v0, a2, dts2, sysz)
-            f_plain += float(qct.iso_vec_unitary_fidelity(
-                Us2[-1], qct.operator_to_iso_vec(qct.GATES["H"])
-            ))
-        assert f_sampled > 0.8 * f_plain  # sampled is at least comparable
+            Us = qct.unitary_rollout(
+                v0, sampled.trajectory["a"],
+                sampled.trajectory.get_timesteps(), sysz,
+            )
+            f_sampled += float(qct.iso_vec_unitary_fidelity(Us[-1], goal))
+            Us2 = qct.unitary_rollout(
+                v0, plain.trajectory["a"],
+                plain.trajectory.get_timesteps(), sysz,
+            )
+            f_plain += float(qct.iso_vec_unitary_fidelity(Us2[-1], goal))
+        assert f_sampled > f_plain
 
     def test_distribution_overload(self):
         def sys_fn(z):
@@ -208,6 +196,22 @@ class TestUnitaryBangBang:
         assert (da_bb > 5e-2).sum() <= (da_smooth > 5e-2).sum()
 
 
+def _magnus_cost(traj, H_error, unitary_name="Ũ⃗"):
+    """First-order Magnus sensitivity ||Σ_t Δt_t U_t† H_e U_t||_F² normalized
+    by (N·T_total)² — the quantity UnitaryRobustnessProblem minimizes (same
+    normalization as the terminal cost in problems/unitary_robustness.py)."""
+    U = np.asarray(traj[unitary_name])
+    dts = np.asarray(traj.get_timesteps())
+    T = U.shape[0]
+    N = int(round((U.shape[1] / 2) ** 0.5))
+    M = np.zeros((N, N), dtype=complex)
+    for t in range(T - 1):
+        Ut = np.asarray(qct.iso_vec_to_operator(U[t]))
+        M += dts[t] * (Ut.conj().T @ np.asarray(H_error) @ Ut)
+    T_total = float(dts[: T - 1].sum())
+    return float(np.linalg.norm(M) ** 2) / (N * T_total) ** 2
+
+
 class TestUnitaryRobustness:
     def test_robustness_warm_start(self):
         sys = _hadamard_system()
@@ -219,6 +223,7 @@ class TestUnitaryRobustness:
         prob.solve(max_iter=60)
         fid0 = float(qct.unitary_rollout_fidelity(prob.trajectory, sys))
         assert fid0 > 0.99, "warm start must be feasible for the 0.99 floor"
+        before = _magnus_cost(prob.trajectory, qct.PAULIS["Z"])
         rob = qct.UnitaryRobustnessProblem(
             qct.PAULIS["Z"], prob, sys, final_fidelity=0.99,
         )
@@ -227,7 +232,14 @@ class TestUnitaryRobustness:
         fid = float(
             qct.unitary_rollout_fidelity(rob.trajectory, sys)
         )
-        assert fid > 0.85  # fidelity floor roughly maintained
+        # the robustness cost (first-order error sensitivity) must DECREASE
+        # vs the warm start — the reference's assertion with its escape
+        # hatch for an already-small start (unitary_robustness_problem.jl:
+        # 171-177).  Measured at this config: ratio 0.9956, converged at 26
+        # iters (scripts/calibrate_robustness.py).
+        after = _magnus_cost(rob.trajectory, qct.PAULIS["Z"])
+        assert after < before or before < 0.25
+        assert fid > 0.99 - 1e-3  # fidelity floor maintained
 
 
 class TestDirectSum:
@@ -251,8 +263,23 @@ class TestDirectSum:
         assert "Ũ⃗1" in ds.trajectory.names
         assert "Ũ⃗2" in ds.trajectory.names
         assert "a1" in ds.trajectory.names and "a2" in ds.trajectory.names
+
+        # per-subproblem rollout fidelity must improve from the noise-reset
+        # start (measured at this config: 0.38->0.52 and 0.63->0.99,
+        # scripts/calibrate_behavior_tests.py)
+        def fids(traj):
+            return tuple(
+                float(qct.unitary_rollout_fidelity(
+                    traj, sys, state_name=f"Ũ⃗{i}", drive_name=f"a{i}"))
+                for i in (1, 2)
+            )
+
+        f1_0, f2_0 = fids(ds.trajectory)
         ds.solve(max_iter=20)
+        f1_1, f2_1 = fids(ds.trajectory)
         assert np.all(np.isfinite(np.asarray(ds.trajectory.data)))
+        assert f1_1 > f1_0
+        assert f2_1 > f2_0
 
 
 class TestDensityOperator:
