@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .kkt import KKTFactors, factor_kkt, solve_kkt, solve_with_factors
+from .kkt_cr import solve_kkt_cr
 from .kkt_lanes import (
     LanesFactors,
     resolve_kkt_lanes,
@@ -1035,11 +1036,12 @@ class InteriorPointSolver:
         eye_d = jnp.eye(nlp.d, dtype=dtype)
         lanes = opts.kkt_backend in ("lanes", "lanes_scan")
         fused_lanes = opts.kkt_backend == "lanes"
+        cr = opts.kkt_backend == "cr"
         interp = jax.default_backend() != "tpu"
         keep_fac = (
             opts.soc
             and not self.qn_lbfgs
-            and opts.kkt_backend != "lanes_scan"
+            and opts.kkt_backend not in ("lanes_scan", "cr")
         )
 
         def _bwhere(okv, old, new):
@@ -1101,8 +1103,43 @@ class InteriorPointSolver:
             ok = okm & jnp.isfinite(h).all(axis=-1)
             return dz, nu, ok
 
+        def _cr_smw(h, c, a, b, rzi, rnui, Ui, Mi):
+            """L-BFGS SMW on the cyclic-reduction backend: the [rz | U]
+            multi-column rhs goes through ONE parallel-in-T reduction, then
+            the low-rank correction is a small (2*mem)^2 solve."""
+            T, d, s = nlp.T, nlp.d, nlp.s
+            k2 = Ui.shape[1]
+            RZ = jnp.concatenate(
+                [rzi[..., None], Ui.reshape(T, d, k2)], axis=-1
+            )
+            RNU = jnp.concatenate(
+                [rnui[..., None], jnp.zeros((T - 1, s, k2), Ui.dtype)],
+                axis=-1,
+            )
+            DZ, NU, okm = solve_kkt_cr(h, c, a, b, RZ, RNU, opts.delta_c)
+            dz0, Wz = DZ[..., 0], DZ[..., 1:]
+            nu0, Wnu = NU[..., 0], NU[..., 1:]
+            Wzf = Wz.reshape(T * d, k2)
+            Gm = -Mi + Ui.T @ Wzf
+            hh = jnp.linalg.solve(Gm, Ui.T @ dz0.reshape(-1))
+            dzi = dz0 - (Wzf @ hh).reshape(T, d)
+            nui = nu0 - Wnu @ hh
+            return dzi, nui, okm & jnp.all(jnp.isfinite(hh))
+
         def attempt(dw):
             Hreg = H + dw[:, None, None, None] * eye_d
+            if cr:  # block cyclic reduction: parallel-in-T latency path
+                if self.qn_lbfgs:
+                    dz, nu, ok = jax.vmap(_cr_smw)(
+                        Hreg, C, A, Bj, rz, rnu, U_lr, M_lr
+                    )
+                else:
+                    dz, nu, ok = jax.vmap(
+                        lambda h, c, a, b, z, n: solve_kkt_cr(
+                            h, c, a, b, z, n, opts.delta_c
+                        )
+                    )(Hreg, C, A, Bj, rz, rnu)
+                return dz, nu, ok, ()
             if lanes and not fused_lanes:  # lanes_scan cross-validation path
                 dz, nu, ok = solve_kkt_lanes_scan(
                     Hreg, C, A, Bj, rz, rnu, opts.delta_c, interpret=interp

@@ -96,14 +96,17 @@ class SolverOptions:
     # Jacobian-column variable scaling, computed once at the initial point
     nlp_scaling: bool = True
     # KKT factorization backend: "xla" (vmapped small linear algebra),
-    # "lanes" (fused Pallas batch-across-lanes sweeps; TPU-optimized), or
-    # "lanes_scan" (per-knot lanes kernels; cross-validation fallback)
+    # "lanes" (fused Pallas batch-across-lanes sweeps; TPU-optimized),
+    # "lanes_scan" (per-knot lanes kernels; cross-validation fallback), or
+    # "cr" (block cyclic reduction, parallel-in-T: O(log T) critical path
+    # instead of O(T) — the latency backend for single/small-batch solves;
+    # soc is inert on "cr", which keeps no reusable factors)
     kkt_backend: str = "xla"
 
     _ENUMS = {
         "mu_strategy": ("monotone", "adaptive"),
         "quasi_newton": ("lbfgs", "gauss-newton"),
-        "kkt_backend": ("xla", "lanes", "lanes_scan"),
+        "kkt_backend": ("xla", "lanes", "lanes_scan", "cr"),
         "matmul_precision": ("default", "high", "highest"),
         "eval_precision": (None, "default", "high", "highest"),
         "dtype": (None, "float32", "float64"),
