@@ -456,6 +456,53 @@ def bench_su4_multigoal(qct, args, dtype):
 
 
 # --------------------------------------------------------------------- #
+def _run_config_subprocess(name, args, timeout_s=1500):
+    """Run one config in its own process (own TPU client).
+
+    Round 2 ran all five configs in ONE process: the first TPU error
+    poisoned the shared runtime and cascade-failed every later config
+    (BENCH_r02: cnot/leakage/su4 all died in 0.0s).  A subprocess per
+    config gives each a fresh client and bounds the blast radius; children
+    run strictly sequentially so only one TPU process exists at a time
+    (relay constraint, CLAUDE.md).
+    """
+    import subprocess
+
+    cmd = [
+        sys.executable, __file__, "--child", "--configs", name,
+        "--batch", str(args.batch), "--iters", str(args.iters),
+        "--iters-2q", str(args.iters_2q), "--repeats", str(args.repeats),
+        "--precision", args.precision, "--kappa-mu", str(args.kappa_mu),
+        "--line-search", args.line_search, "--mu-strategy", args.mu_strategy,
+        "--su4-goals", str(args.su4_goals), "--su4-seeds", str(args.su4_seeds),
+        "--su4-waves", str(args.su4_waves),
+    ]
+    if args.eval_precision:
+        cmd += ["--eval-precision", args.eval_precision]
+    if args.kkt_backend:
+        cmd += ["--kkt-backend", args.kkt_backend]
+    if args.cpu:
+        cmd.append("--cpu")
+    if args.smoke:
+        cmd.append("--smoke")
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_s
+        )
+    except subprocess.TimeoutExpired:
+        return {"metric": name, "error": f"timeout after {timeout_s}s"}
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    tail = (out.stderr or "").strip().splitlines()[-3:]
+    return {
+        "metric": name,
+        "error": f"child rc={out.returncode}: {' | '.join(tail)[-400:]}",
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=512)
@@ -487,7 +534,17 @@ def main():
     )
     parser.add_argument("--su4-goals", dest="su4_goals", type=int, default=256)
     parser.add_argument("--su4-seeds", dest="su4_seeds", type=int, default=4)
-    parser.add_argument("--su4-waves", dest="su4_waves", type=int, default=1)
+    # 4 waves x 256 goals x 4 seeds = 4096 total seeds (the BASELINE-named
+    # su4 batch size)
+    parser.add_argument("--su4-waves", dest="su4_waves", type=int, default=4)
+    parser.add_argument(
+        "--child", action="store_true",
+        help="internal: run the requested configs in-process (no isolation)",
+    )
+    parser.add_argument(
+        "--config-timeout", dest="config_timeout", type=int, default=1500,
+        help="per-config subprocess timeout (seconds)",
+    )
     args = parser.parse_args()
     if args.smoke:
         args.batch, args.iters, args.repeats = 8, 30, 1
@@ -496,28 +553,40 @@ def main():
         if args.configs == "all":
             args.configs = "hadamard"
 
-    import jax
-
-    if args.cpu:
-        # note: the environment's sitecustomize pins jax_platforms to
-        # "axon,cpu"; an explicit config update is required to override it
-        jax.config.update("jax_platforms", "cpu")
-    if args.kkt_backend is None:
-        args.kkt_backend = "lanes" if jax.default_backend() == "tpu" else "xla"
-
-    import jax.numpy as jnp
-
-    import quantumcollocation_tpu as qct
-
-    dtype = jnp.float32 if jax.default_backend() != "cpu" else (
-        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    )
-
     names = (
         ["hadamard", "min_time", "cnot", "leakage", "su4"]
         if args.configs == "all"
         else [c.strip() for c in args.configs.split(",")]
     )
+    in_process = args.child or len(names) == 1
+
+    if in_process:
+        import jax
+
+        if args.cpu:
+            # note: the environment's sitecustomize pins jax_platforms to
+            # "axon,cpu"; an explicit config update is required to override
+            jax.config.update("jax_platforms", "cpu")
+        if args.kkt_backend is None:
+            args.kkt_backend = (
+                "lanes" if jax.default_backend() == "tpu" else "xla"
+            )
+
+        import jax.numpy as jnp
+
+        import quantumcollocation_tpu as qct
+
+        dtype = jnp.float32 if jax.default_backend() != "cpu" else (
+            jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        )
+        backend_name = jax.default_backend()
+    else:
+        # IMPORTANT: the parent must NOT touch jax — creating a TPU client
+        # here would hold the (single-process) relay lease while the child
+        # processes need it
+        qct = dtype = None
+        backend_name = "cpu" if args.cpu else "tpu(subprocess)"
+
     fns = {
         "hadamard": bench_hadamard,
         "min_time": bench_min_time,
@@ -529,14 +598,24 @@ def main():
     for name in names:
         print(f"[bench] running config {name}...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
-        try:
-            r = fns[name](qct, args, dtype)
-        except Exception as e:  # record, keep the headline alive
-            r = {"metric": name, "error": f"{type(e).__name__}: {e}"}
+        if in_process:
+            try:
+                r = fns[name](qct, args, dtype)
+            except Exception as e:  # record, keep the headline alive
+                r = {"metric": name, "error": f"{type(e).__name__}: {e}"}
+        else:
+            # per-config process isolation: a TPU runtime error in one
+            # config cannot poison the others' client
+            r = _run_config_subprocess(name, args, args.config_timeout)
         r["config_total_s"] = round(time.perf_counter() - t0, 1)
         results[name] = r
-        if name != "hadamard":
+        if name != "hadamard" and not args.child:
             _emit(r)
+
+    if args.child:
+        # exactly one raw config record; the parent parses the LAST line
+        _emit(results[names[0]])
+        return 0
 
     head = results.get("hadamard")
     if head is None or "error" in head:
@@ -545,7 +624,7 @@ def main():
         head = ok[0] if ok else {"metric": "bench_failed", "value": 0.0,
                                  "unit": "solves/s/chip"}
     detail = {
-        "backend": jax.default_backend(),
+        "backend": backend_name,
         "precision": args.precision,
         "kkt_backend": args.kkt_backend,
         **{k: v for k, v in head.items() if k not in ("metric", "value", "unit")},

@@ -152,16 +152,88 @@ def _traj_controls(traj, drive_name="a"):
     return traj[drive_name], traj.get_timesteps()
 
 
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=None)
+def _ket_fid_jit(integrator):
+    @jax.jit
+    def f(psi0, a, dts, goal, system):
+        psis = rollout(psi0, a, dts, system, integrator=integrator)
+        return iso_fidelity(psis[-1], goal)
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _unitary_fid_jit(integrator, subspace):
+    @jax.jit
+    def f(v0, a, dts, goal, system):
+        Us = unitary_rollout(v0, a, dts, system, integrator=integrator)
+        return iso_vec_unitary_fidelity(Us[-1], goal, subspace=subspace)
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _unitary_fid_phase_jit(integrator, subspace):
+    @jax.jit
+    def f(v0, a, dts, goal, phases, A, B, system):
+        Us = unitary_rollout(v0, a, dts, system, integrator=integrator)
+        dtype = phases.dtype
+        Abar = jnp.tensordot(phases, A.astype(dtype), axes=1)
+        Bbar = jnp.tensordot(phases, B.astype(dtype), axes=1)
+        K = jnp.concatenate(
+            [
+                jnp.concatenate([-Bbar, -Abar], axis=-1),
+                jnp.concatenate([Abar, -Bbar], axis=-1),
+            ],
+            axis=-2,
+        )
+        from jax.scipy.linalg import expm as _expm
+
+        from ..quantum.isomorphisms import iso_vec_to_iso_operator
+
+        R_iso = _expm(K)
+        Uo = iso_vec_to_iso_operator(Us[-1])
+        RU = R_iso @ Uo
+        n = Uo.shape[-1]
+        Ure, Uim = RU[:n, :], RU[n:, :]
+        Go = iso_vec_to_iso_operator(goal)
+        Gre, Gim = Go[:n, :], Go[n:, :]
+        if subspace is not None:
+            import numpy as _np
+
+            idx = _np.asarray(subspace)
+            Ure = Ure[idx[:, None], idx[None, :]]
+            Uim = Uim[idx[:, None], idx[None, :]]
+            Gre = Gre[idx[:, None], idx[None, :]]
+            Gim = Gim[idx[:, None], idx[None, :]]
+            n = len(idx)
+        from ..quantum.fidelities import _safe_abs
+
+        re = jnp.sum(Gre * Ure + Gim * Uim)
+        im = jnp.sum(Gre * Uim - Gim * Ure)
+        return _safe_abs(re, im, jnp) / n
+
+    return f
+
+
 def rollout_fidelity(
     traj, system, *, state_name="ψ̃", drive_name="a", integrator="expm"
 ):
     """Ground-truth ket fidelity: roll initial state forward under the
-    trajectory's controls and compare with the goal."""
+    trajectory's controls and compare with the goal.
+
+    The whole computation runs as ONE jitted call (cached per integrator/
+    shape): eager per-op dispatch would pay a relay round trip per op on
+    remote TPU runtimes, and no complex array ever exists device-side."""
     a, dts = _traj_controls(traj, drive_name)
     psi0 = jnp.asarray(traj.initial[state_name])
     goal = jnp.asarray(traj.goal[state_name])
-    psis = rollout(psi0, a, dts, system, integrator=integrator)
-    return iso_fidelity(psis[-1], goal)
+    return _ket_fid_jit(integrator)(
+        psi0, jnp.asarray(a), jnp.asarray(dts), goal, system
+    )
 
 
 def unitary_rollout_fidelity(
@@ -176,16 +248,31 @@ def unitary_rollout_fidelity(
     integrator="expm",
 ):
     """Ground-truth unitary fidelity by rollout (the reference's
-    `unitary_rollout_fidelity`, call sites unitary_smooth_pulse_problem.jl:218-221)."""
+    `unitary_rollout_fidelity`, call sites unitary_smooth_pulse_problem.jl:218-221).
+
+    One jitted call per (integrator, subspace, shape) — see rollout_fidelity.
+    """
+    import numpy as np
+
     a, dts = _traj_controls(traj, drive_name)
     v0 = jnp.asarray(traj.initial[state_name])
     goal = jnp.asarray(traj.goal[state_name])
-    Us = unitary_rollout(v0, a, dts, system, integrator=integrator)
+    sub = None if subspace is None else tuple(int(i) for i in subspace)
     if phases is not None:
-        return iso_vec_unitary_free_phase_fidelity(
-            Us[-1], goal, phases, phase_operators, subspace=subspace
+        ops = (
+            np.stack([np.asarray(op) for op in phase_operators])
+            if isinstance(phase_operators, (list, tuple))
+            else np.asarray(phase_operators)
         )
-    return iso_vec_unitary_fidelity(Us[-1], goal, subspace=subspace)
+        A = jnp.asarray(np.ascontiguousarray(ops.real))
+        B = jnp.asarray(np.ascontiguousarray(ops.imag))
+        return _unitary_fid_phase_jit(integrator, sub)(
+            v0, jnp.asarray(a), jnp.asarray(dts), goal,
+            jnp.asarray(phases), A, B, system,
+        )
+    return _unitary_fid_jit(integrator, sub)(
+        v0, jnp.asarray(a), jnp.asarray(dts), goal, system
+    )
 
 
 def open_rollout_fidelity(
@@ -193,10 +280,9 @@ def open_rollout_fidelity(
     integrator="expm",
 ):
     """Rollout fidelity <psi|rho_T|psi> for open-system pulse design."""
-    from ..quantum.fidelities import density_pure_state_fidelity
-    from ..quantum.isomorphisms import iso_vec_to_density
+    from ..quantum.fidelities import iso_vec_density_pure_state_fidelity
 
     a, dts = _traj_controls(traj, drive_name)
     r0 = jnp.asarray(traj.initial[state_name])
     rhos = open_rollout(r0, a, dts, system, integrator=integrator)
-    return density_pure_state_fidelity(iso_vec_to_density(rhos[-1]), psi_goal)
+    return iso_vec_density_pure_state_fidelity(rhos[-1], psi_goal)

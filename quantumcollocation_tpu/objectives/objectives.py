@@ -25,7 +25,6 @@ from ..quantum.fidelities import (
     iso_vec_unitary_fidelity,
     iso_vec_unitary_free_phase_fidelity,
 )
-from ..quantum.isomorphisms import iso_vec_to_density
 
 __all__ = [
     "Objective",
@@ -177,15 +176,15 @@ def QuantumStateObjective(name, traj, Q=100.0, *, eval_hessian=True):
 def DensityOperatorPureStateInfidelityObjective(name, psi_goal, *, Q=100.0, traj=None):
     """Q * (1 - <psi|rho_T|psi>) (reference: density_operator_smooth_pulse_problem.jl:55)."""
     assert traj is not None, "traj required to resolve component slices"
+    from ..quantum.fidelities import iso_vec_density_pure_state_fidelity
+
     start, stop = _slice(traj, name)
-    # host-side numpy: becomes a traced constant inside fn (no eager complex
-    # h2d transfer, which some TPU runtimes lack)
+    # real-arithmetic iso-vec fidelity: no complex array exists device-side,
+    # even under eager evaluation (axon complex transfers are unimplemented)
     psi = np.asarray(psi_goal, dtype=complex)
 
     def fn(zT, globals_dict):
-        rho = iso_vec_to_density(zT[start:stop])
-        p = jnp.asarray(psi, dtype=rho.dtype)
-        return 1.0 - jnp.real(p.conj() @ rho @ p)
+        return 1.0 - iso_vec_density_pure_state_fidelity(zT[start:stop], psi)
 
     return Objective(
         (ObjectiveTerm("terminal", fn, float(Q), f"density_infidelity[{name}]"),)

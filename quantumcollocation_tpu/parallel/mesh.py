@@ -46,9 +46,14 @@ def init_distributed(
     (the all-converged vote) ride ICI within a slice and DCN across slices.
     Idempotent: a second call is a no-op.
     """
-    if jax.process_count() > 1 or getattr(
-        jax.distributed, "is_initialized", lambda: False
-    )():
+    # NOTE: must not call jax.process_count()/jax.devices() here — those
+    # initialize the XLA backend, after which distributed.initialize()
+    # refuses to run.  The idempotence check inspects the distributed
+    # client state directly.
+    if getattr(jax.distributed, "is_initialized", lambda: False)() or (
+        getattr(jax.distributed, "global_state", None) is not None
+        and getattr(jax.distributed.global_state, "client", None) is not None
+    ):
         return
     kwargs = {}
     if coordinator_address is not None:

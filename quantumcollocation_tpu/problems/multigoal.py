@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..quantum.isomorphisms import iso_vec_to_operator, operator_to_iso_vec
+from ..quantum.isomorphisms import operator_to_iso_vec
 from .unitary_smooth_pulse import UnitarySmoothPulseProblem
 
 __all__ = [

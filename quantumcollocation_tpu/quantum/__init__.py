@@ -47,8 +47,9 @@ from .embedded import (
 from .fidelities import (
     density_pure_state_fidelity,
     fidelity,
-    free_phase_rotation,
+    free_phase_iso_rotation,
     iso_fidelity,
+    iso_vec_density_pure_state_fidelity,
     iso_vec_unitary_fidelity,
     iso_vec_unitary_free_phase_fidelity,
     unitary_fidelity,

@@ -221,7 +221,11 @@ def solve_kkt_cr(H, C, A, B, rz, rnu, delta_c, refine_iters=2):
     # ~unit rows make the threshold meaningful across the barrier range
     rnorm = jnp.max(jnp.abs(res))
     bnorm = jnp.maximum(jnp.max(jnp.abs(r)), 1e-30)
-    tol = 100.0 * jnp.sqrt(jnp.finfo(w.dtype).eps)
+    # dtype-aware gate: 100*sqrt(eps) is fine in f64 (1.5e-6) but would
+    # admit ~3% relative residual in f32; the barrier-phase conditioning
+    # this backend's safeguards exist for demands a tighter f32 gate
+    mult = 4.0 if w.dtype == jnp.float32 else 100.0
+    tol = mult * jnp.sqrt(jnp.finfo(w.dtype).eps)
     ok_res = rnorm <= tol * bnorm
 
     w = sc[:, :, None] * w

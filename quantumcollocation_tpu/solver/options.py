@@ -21,6 +21,14 @@ class SolverOptions:
     print_level: int = 1
     max_iter: int = 100
     tol: float = 1e-8
+    # Ipopt's acceptable-level termination (options `acceptable_tol` /
+    # `acceptable_iter`): declare success when the scaled optimality error
+    # stays <= acceptable_tol for acceptable_iter CONSECUTIVE iterations.
+    # This is how Ipopt handles quasi-Newton tails whose dual infeasibility
+    # floors above `tol` (hessian_approximation=limited-memory).  Ipopt
+    # defaults: 1e-6 / 15.  acceptable_iter=0 disables.
+    acceptable_tol: float = 1e-6
+    acceptable_iter: int = 15
     # barrier schedule (Fiacco-McCormick, Ipopt defaults)
     mu_init: float = 1e-1
     kappa_mu: float = 0.2

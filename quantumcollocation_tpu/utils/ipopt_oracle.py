@@ -62,20 +62,21 @@ class FlatNLP:
     n_c: int
     pack: Callable  # Z (T, d) -> x (n,)
     unpack: Callable  # x -> Z (T, d)
+    ineq: Callable | None = None  # g(x) -> (n_g,)  inequalities, target >= 0
+    ineq_jac: Callable | None = None  # Jg(x) -> (n_g, n)
+    n_g: int = 0
 
 
 def flatten_nlp(prob, Z=None) -> FlatNLP:
     """Flatten ``prob.nlp`` to dense scipy form (float64, CPU).
 
     Z: optional (T, d) decision tensor supplying the initial point
-    (defaults to nlp.z0).  Inequality constraints are not supported here
-    (the canonical Ipopt-parity configs are equality+bounds NLPs).
+    (defaults to nlp.z0).  Stage inequalities g(z_t, t) >= 0 (final-fidelity
+    floors, L1 slack couplings, complex-modulus disks) are stacked over all
+    T knots into one g(x) >= 0 vector — the same lowering Ipopt applies via
+    slacks (WB06 §3.4), so min-time/bang-bang solutions are certifiable too.
     """
     nlp = prob.nlp
-    if nlp.m != 0:
-        raise NotImplementedError(
-            "flatten_nlp covers equality+bounds NLPs (nlp.m == 0)"
-        )
     fns = make_nlp_functions(nlp, exact_hessian=False)
     T, d = nlp.T, nlp.d
     free = np.asarray(nlp.free_mask).reshape(-1)
@@ -98,6 +99,20 @@ def flatten_nlp(prob, Z=None) -> FlatNLP:
         return fns.defects(to_Z(x)).reshape(-1)
 
     _J = jax.jit(jax.jacrev(_c))
+
+    if nlp.m > 0:
+
+        @jax.jit
+        def _gq(x):
+            return fns.ineqs(to_Z(x)).reshape(-1)
+
+        _Jg = jax.jit(jax.jacrev(_gq))
+        ineq = lambda x: np.asarray(_gq(jnp.asarray(x, dtype=jnp.float64)))  # noqa: E731
+        ineq_jac = lambda x: np.asarray(_Jg(jnp.asarray(x, dtype=jnp.float64)))  # noqa: E731
+        n_g = int(nlp.m * T)
+    else:
+        ineq = ineq_jac = None
+        n_g = 0
 
     lb = np.asarray(nlp.lb, dtype=np.float64).reshape(-1)[free]
     ub = np.asarray(nlp.ub, dtype=np.float64).reshape(-1)[free]
@@ -123,17 +138,25 @@ def flatten_nlp(prob, Z=None) -> FlatNLP:
         n_c=int(nlp.s * (T - 1)),
         pack=pack,
         unpack=unpack,
+        ineq=ineq,
+        ineq_jac=ineq_jac,
+        n_g=n_g,
     )
 
 
-def kkt_certificate(prob, Z=None, *, active_tol: float = 1e-6) -> dict:
+def kkt_certificate(prob, Z=None, *, active_tol: float = 1e-5) -> dict:
     """Ipopt's scaled optimality error E_0 at the solution, in float64.
 
-    Multiplier recovery: λ (equalities) and z_L/z_U (bound duals, restricted
-    to the active set ``|x - bound| <= active_tol·(1+|x|)``) solve the
-    stationarity least-squares problem; negative bound duals are projected to
-    zero (they must be ≥ 0 at a KKT point) and the residual re-evaluated, so a
-    non-KKT point cannot certify by abusing the sign freedom.
+    Multiplier recovery: λ (equalities), ν (active inequalities g(x) >= 0)
+    and z_L/z_U (bound duals, restricted to the active set
+    ``|x - bound| <= active_tol·(1+|x|)``) solve the stationarity
+    least-squares problem; ν and the bound duals are projected to ≥ 0 (their
+    sign at a KKT point) and the residual re-evaluated, so a non-KKT point
+    cannot certify by abusing the sign freedom.
+
+    Inequalities use the same active-set treatment Ipopt applies after its
+    slack lowering (WB06 §3.4): inactive rows (g_i > active_tol) carry
+    ν_i = 0 and contribute their complementarity ν_i·g_i = 0 exactly.
 
     Returns dict with e_stat, e_feas, e_comp, E0 (Ipopt's scaled max), plus
     the scaling factors s_d, s_c (s_max = 100, WB06 eq. (6)).
@@ -153,8 +176,21 @@ def kkt_certificate(prob, Z=None, *, active_tol: float = 1e-6) -> dict:
     act_lo = np.isfinite(flat.lb) & (x - flat.lb <= active_tol * scale)
     act_hi = np.isfinite(flat.ub) & (flat.ub - x <= active_tol * scale)
 
-    # stationarity: g + J^T λ - z_L + z_U = 0
+    if flat.n_g > 0:
+        gi = flat.ineq(x)
+        Jg = flat.ineq_jac(x)
+        act_g = gi <= active_tol * (1.0 + np.abs(gi))
+        feas_g = float(np.max(np.maximum(-gi, 0.0)))  # violation of g >= 0
+    else:
+        gi = np.zeros(0)
+        Jg = np.zeros((0, n))
+        act_g = np.zeros(0, dtype=bool)
+        feas_g = 0.0
+
+    # stationarity: g + J^T λ - Jg^T ν - z_L + z_U = 0  (ν, z_L, z_U >= 0)
     cols = [J.T]
+    if act_g.any():
+        cols.append(-Jg[act_g].T)
     if act_lo.any():
         E = np.zeros((n, int(act_lo.sum())))
         E[np.nonzero(act_lo)[0], np.arange(int(act_lo.sum()))] = -1.0
@@ -166,29 +202,42 @@ def kkt_certificate(prob, Z=None, *, active_tol: float = 1e-6) -> dict:
     A = np.concatenate(cols, axis=1)
     sol, *_ = np.linalg.lstsq(A, -g, rcond=None)
     lam = sol[:n_c]
+    nu = np.zeros(flat.n_g)
     zl = np.zeros(n)
     zu = np.zeros(n)
     k = n_c
+    if act_g.any():
+        nu[act_g] = np.maximum(sol[k : k + int(act_g.sum())], 0.0)
+        k += int(act_g.sum())
     if act_lo.any():
         zl[act_lo] = np.maximum(sol[k : k + int(act_lo.sum())], 0.0)
         k += int(act_lo.sum())
     if act_hi.any():
         zu[act_hi] = np.maximum(sol[k : k + int(act_hi.sum())], 0.0)
 
-    r_stat = g + J.T @ lam - zl + zu
+    r_stat = g + J.T @ lam - Jg.T @ nu - zl + zu
     # complementarity at μ = 0
     comp_lo = zl * np.where(np.isfinite(flat.lb), x - flat.lb, 0.0)
     comp_hi = zu * np.where(np.isfinite(flat.ub), flat.ub - x, 0.0)
+    comp_g = nu * gi if flat.n_g > 0 else np.zeros(1)
 
     s_max = 100.0
-    z_sum = np.abs(zl).sum() + np.abs(zu).sum()
-    s_d = max(s_max, (np.abs(lam).sum() + z_sum) / max(n_c + n, 1)) / s_max
-    s_c = max(s_max, z_sum / max(n, 1)) / s_max
+    z_sum = np.abs(zl).sum() + np.abs(zu).sum() + np.abs(nu).sum()
+    n_duals = n_c + n + flat.n_g
+    s_d = max(s_max, (np.abs(lam).sum() + z_sum) / max(n_duals, 1)) / s_max
+    s_c = max(s_max, z_sum / max(n + flat.n_g, 1)) / s_max
 
     e_stat = float(np.max(np.abs(r_stat))) / s_d
-    e_feas = float(np.max(np.abs(c))) if n_c else 0.0
+    e_feas = max(float(np.max(np.abs(c))) if n_c else 0.0, feas_g)
     e_comp = (
-        float(max(np.max(np.abs(comp_lo)), np.max(np.abs(comp_hi)))) / s_c
+        float(
+            max(
+                np.max(np.abs(comp_lo)),
+                np.max(np.abs(comp_hi)),
+                np.max(np.abs(comp_g)),
+            )
+        )
+        / s_c
         if n
         else 0.0
     )
@@ -202,6 +251,7 @@ def kkt_certificate(prob, Z=None, *, active_tol: float = 1e-6) -> dict:
         "objective": flat.fun(x),
         "n": n,
         "n_c": n_c,
+        "n_g": flat.n_g,
     }
 
 
@@ -224,6 +274,10 @@ def trust_constr_solve(
     constraints = [
         NonlinearConstraint(flat.cons, 0.0, 0.0, jac=flat.cons_jac)
     ]
+    if flat.n_g > 0:
+        constraints.append(
+            NonlinearConstraint(flat.ineq, 0.0, np.inf, jac=flat.ineq_jac)
+        )
     bounded = np.isfinite(flat.lb).any() or np.isfinite(flat.ub).any()
     res = minimize(
         flat.fun,

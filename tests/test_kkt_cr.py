@@ -106,14 +106,20 @@ class TestCyclicReductionKKT:
     def test_lbfgs_cr_converges_to_xla_optimum(self):
         # quasi_newton="lbfgs" on the cr backend (multi-column SMW through
         # one parallel-in-T reduction) must reach the same optimum as the
-        # xla SMW path
+        # xla SMW path.  L-BFGS dual infeasibility floors around 2e-6 on
+        # this problem (the quasi-Newton tail — measured stalling even at
+        # max_iter=400), which is exactly what Ipopt's acceptable-level
+        # termination exists for: tol=1e-6 unreachable, acceptable_tol=1e-5
+        # sustained for acceptable_iter iterations declares success
+        # (Ipopt options acceptable_tol/acceptable_iter).
         sys = qct.QuantumSystem(qct.GATES["Z"], [qct.GATES["X"], qct.GATES["Y"]])
         objs = {}
         for backend in ("xla", "cr"):
             prob = qct.UnitarySmoothPulseProblem(
                 sys, qct.GATES["H"], 11, 0.2,
                 ipopt_options=qct.SolverOptions(
-                    print_level=1, tol=1e-6, kkt_backend=backend
+                    print_level=1, tol=1e-6, kkt_backend=backend,
+                    acceptable_tol=1e-5, acceptable_iter=8,
                 ),
                 piccolo_options=qct.PiccoloOptions(
                     verbose=False, eval_hessian=False
@@ -122,6 +128,7 @@ class TestCyclicReductionKKT:
             )
             res = prob.solver.solve(prob.initial_decision(1), max_iter=120)
             assert bool(res.converged[0]), backend
+            assert float(res.kkt_err[0]) < 1e-5, backend
             objs[backend] = float(res.objective[0])
         assert abs(objs["xla"] - objs["cr"]) < 1e-6 * max(
             1.0, abs(objs["xla"])
