@@ -83,6 +83,19 @@ class IPMState(NamedTuple):
     # consecutive iterations with E0 <= acceptable_tol (Ipopt acceptable-
     # level termination); int32 (B,)
     acc_count: Any = 0
+    # watchdog state (None unless watchdog_trials > 0 with the filter line
+    # search): when the filter rejects every trial step, up to
+    # watchdog_trials FULL steps are taken tentatively; if no acceptable
+    # point appears, the iterate is rewound to the snapshot (Ipopt's
+    # non-monotone watchdog heuristic)
+    wd_count: Any = None  # (B,) int32 tentative steps taken (0 = inactive)
+    wd_cool: Any = None  # (B,) int32 re-activation cooldown after a rewind
+    wd_Z: Any = None  # (B, T, d) snapshot primal
+    wd_lam: Any = None  # (B, T-1, s)
+    wd_sig: Any = None  # (B, T, m)
+    wd_w: Any = None  # (B, T, m)
+    wd_zl: Any = None  # (B, T, d)
+    wd_zu: Any = None  # (B, T, d)
 
 
 class IPMResult(NamedTuple):
@@ -144,6 +157,23 @@ class InteriorPointSolver:
     exact_hessian: bool = True
 
     def __post_init__(self):
+        if (
+            self.options.kkt_backend in ("lanes", "lanes_scan")
+            and max(self.nlp.d, self.nlp.s) > self.options.lanes_max_dim
+        ):
+            # the lanes kernels' statically-unrolled linear algebra makes
+            # trace + Mosaic compile time cubic in the stage dimension
+            # (options.py:lanes_max_dim); large problems would not finish
+            # compiling, so fall back to the XLA scan backend
+            if self.options.print_level >= 1:
+                print(
+                    "[qct] note: stage dims (d="
+                    f"{self.nlp.d}, s={self.nlp.s}) exceed lanes_max_dim="
+                    f"{self.options.lanes_max_dim}; kkt_backend "
+                    f"{self.options.kkt_backend!r} -> 'xla' (the unrolled "
+                    "lanes kernels' compile time is cubic in d)"
+                )
+            self.options = self.options.replace(kkt_backend="xla")
         self.qn_lbfgs = (
             not self.exact_hessian and self.options.quasi_newton == "lbfgs"
         )
@@ -317,6 +347,19 @@ class InteriorPointSolver:
             )
         else:
             flt = {}
+        if opts.watchdog_trials > 0 and opts.line_search == "filter":
+            wd = dict(
+                wd_count=jnp.zeros((B,), jnp.int32),
+                wd_cool=jnp.zeros((B,), jnp.int32),
+                wd_Z=Z,
+                wd_lam=lam0,
+                wd_sig=sig,
+                wd_w=w,
+                wd_zl=zl,
+                wd_zu=zu,
+            )
+        else:
+            wd = {}
         if self.qn_lbfgs:
             mem = self.options.lbfgs_memory
             n = nlp.T * nlp.d
@@ -352,6 +395,7 @@ class InteriorPointSolver:
             d_norm=zeros,
             acc_count=jnp.zeros((B,), jnp.int32),
             **flt,
+            **wd,
             **qn,
         )
 
@@ -925,6 +969,7 @@ class InteriorPointSolver:
         # rejected and the constraint violation grew, take the re-solved
         # corrected step (produced by _soc_step against the SAME KKT
         # factorization — triangular re-solves only) if it wins on merit.
+        soc_used = jnp.zeros((), bool)
         if soc is not None:
             dz_c, nu_c, ok_c, theta_grew = soc
             dz_c = dz_c * free
@@ -948,6 +993,45 @@ class InteriorPointSolver:
             dzu = jnp.where(use, dzu_c, dzu)
             alpha = jnp.where(use, a_p_c, alpha)
             a_dual = jnp.where(use, a_d_c, a_dual)
+            soc_used = use
+
+        # ---------------- watchdog (non-monotone fallback) ---------------- #
+        # Ipopt's watchdog heuristic: when the filter rejects EVERY trial
+        # step, tentatively take the FULL step anyway (up to watchdog_trials
+        # consecutive times, snapshotting the last safe iterate first); if
+        # no filter-acceptable point appears within the trials, rewind to
+        # the snapshot and cool down (the regular backtracking + best-merit
+        # fallback then resumes from the safe point).
+        wd_en = (
+            opts.watchdog_trials > 0
+            and opts.line_search == "filter"
+            and state.wd_count is not None
+        )
+        if wd_en:
+            acc_eff = accepted | soc_used
+            active = state.wd_count > 0
+            fail = (~acc_eff) & ok
+            activate = (~active) & fail & (state.wd_cool <= 0)
+            succeed = active & acc_eff
+            go_on = active & fail & (state.wd_count < opts.watchdog_trials)
+            rewind = active & fail & (state.wd_count >= opts.watchdog_trials)
+            # tentative full fraction-to-boundary step instead of the
+            # best-merit fallback
+            alpha = jnp.where(activate | go_on, a_pri, alpha)
+            wd_count_new = jnp.where(
+                activate,
+                1,
+                jnp.where(
+                    go_on,
+                    state.wd_count + 1,
+                    jnp.where(succeed | rewind, 0, state.wd_count),
+                ),
+            ).astype(jnp.int32)
+            wd_cool_new = jnp.where(
+                rewind, 3, jnp.maximum(state.wd_cool - 1, 0)
+            ).astype(jnp.int32)
+        else:
+            rewind = jnp.zeros((), bool)
 
         # ---------------- updates (frozen when converged) ---------------- #
         upd = (~converged) & (~now_converged)
@@ -992,6 +1076,31 @@ class InteriorPointSolver:
                 w,
             )
 
+        if wd_en:
+            # snapshot the pre-step iterate on activation; rewind restores
+            # it verbatim (it satisfied all safeguards when it was live)
+            snap = activate & upd
+            rw = rewind & upd
+            wd = dict(
+                wd_count=jnp.where(upd, wd_count_new, state.wd_count),
+                wd_cool=jnp.where(upd, wd_cool_new, state.wd_cool),
+                wd_Z=jnp.where(snap, Z, state.wd_Z),
+                wd_lam=jnp.where(snap, lam, state.wd_lam),
+                wd_sig=jnp.where(snap, sig, state.wd_sig),
+                wd_w=jnp.where(snap, w, state.wd_w),
+                wd_zl=jnp.where(snap, zl, state.wd_zl),
+                wd_zu=jnp.where(snap, zu, state.wd_zu),
+            )
+            Z_new = jnp.where(rw, state.wd_Z, Z_new)
+            lam_new = jnp.where(rw, state.wd_lam, lam_new)
+            sig_new = jnp.where(rw, state.wd_sig, sig_new)
+            w_new = jnp.where(rw, state.wd_w, w_new)
+            zl_new = jnp.where(rw, state.wd_zl, zl_new)
+            zu_new = jnp.where(rw, state.wd_zu, zu_new)
+        else:
+            wd = {}
+            rw = jnp.zeros((), bool)
+
         if opts.line_search == "filter":
             flt = dict(
                 flt_theta=flt_theta_new,
@@ -1008,14 +1117,17 @@ class InteriorPointSolver:
             )
         if self.qn_lbfgs:
             # persist the memory updated in _iteration_pre; advance prevZ to
-            # the current iterate (the next pair spans this transition)
+            # the current iterate (the next pair spans this transition).
+            # A watchdog rewind keeps the pre-excursion memory (the excursion
+            # pairs describe territory the iterate just left).
+            upd_qn = upd & (~rw)
             qn = dict(
-                qn_S=jnp.where(upd, aux.qn_S, state.qn_S),
-                qn_Y=jnp.where(upd, aux.qn_Y, state.qn_Y),
-                qn_sty=jnp.where(upd, aux.qn_sty, state.qn_sty),
-                qn_count=jnp.where(upd, aux.qn_count, state.qn_count),
-                qn_prevZ=jnp.where(upd, Z, state.qn_prevZ),
-                qn_sigma=jnp.where(upd, aux.qn_sigma, state.qn_sigma),
+                qn_S=jnp.where(upd_qn, aux.qn_S, state.qn_S),
+                qn_Y=jnp.where(upd_qn, aux.qn_Y, state.qn_Y),
+                qn_sty=jnp.where(upd_qn, aux.qn_sty, state.qn_sty),
+                qn_count=jnp.where(upd_qn, aux.qn_count, state.qn_count),
+                qn_prevZ=jnp.where(upd_qn, Z, state.qn_prevZ),
+                qn_sigma=jnp.where(upd_qn, aux.qn_sigma, state.qn_sigma),
             )
         else:
             qn = {}
@@ -1041,6 +1153,7 @@ class InteriorPointSolver:
             d_norm=jnp.max(jnp.abs(scale * alpha * dz * free)),
             acc_count=acc_count,
             **flt,
+            **wd,
             **qn,
         )
 

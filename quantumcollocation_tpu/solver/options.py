@@ -110,6 +110,14 @@ class SolverOptions:
     # instead of O(T) — the latency backend for single/small-batch solves;
     # soc is inert on "cr", which keeps no reusable factors)
     kkt_backend: str = "xla"
+    # largest stage dimension the lanes backends accept: their linear
+    # algebra is statically unrolled (O(d^3) traced ops per kernel), so
+    # trace+Mosaic compile time explodes with d (measured trace+lower of one
+    # solve: d=15 10s, d=28 40s, d=47 160s — and the IPM instantiates the
+    # kernel 2-3x).  Problems with max(d, s) above this threshold silently
+    # would not finish compiling; the solver falls back to "xla" with a
+    # one-time note instead.
+    lanes_max_dim: int = 24
 
     _ENUMS = {
         "mu_strategy": ("monotone", "adaptive"),

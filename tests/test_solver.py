@@ -353,3 +353,71 @@ class TestOptionsAndStrategies:
         )
         state = solver.init_state(jnp.asarray(nlp.z0, jnp.float64)[None])
         assert state.Z.dtype == jnp.float32
+
+    def test_lanes_falls_back_to_xla_above_max_dim(self):
+        # the lanes kernels' unrolled linear algebra makes compile time
+        # cubic in the stage dimension; above lanes_max_dim the solver must
+        # silently-but-audibly reroute to the XLA scan backend (this is what
+        # makes 2-qubit problems (d~47) finish compiling on TPU at all)
+        d = 30
+        T = 6
+
+        def stage_cost(z, t):
+            return 0.5 * jnp.sum(z**2)
+
+        def pair_cost(zt, ztp1, t):
+            return 0.0
+
+        def terminal_cost(zT):
+            return 0.5 * jnp.sum((zT - 1.0) ** 2)
+
+        def defect(zt, ztp1, t):
+            return ztp1 - zt - 0.1
+
+        def ineq(z, t):
+            return jnp.zeros((0,))
+
+        nlp = StageNLP(
+            T=T, d=d, s=d, m=0,
+            stage_cost=stage_cost, pair_cost=pair_cost,
+            terminal_cost=terminal_cost, defect=defect, ineq=ineq,
+            lb=np.full((T, d), -np.inf), ub=np.full((T, d), np.inf),
+            free_mask=np.ones((T, d), bool), z0=np.zeros((T, d)),
+        )
+        solver = InteriorPointSolver(
+            nlp, SolverOptions(tol=1e-8, kkt_backend="lanes", print_level=0)
+        )
+        assert solver.options.kkt_backend == "xla"
+        res = solver.solve(jnp.asarray(nlp.z0)[None], max_iter=30)
+        assert bool(res.converged[0])
+
+        # below the threshold the requested backend is kept
+        small = _double_integrator_nlp()
+        keep = InteriorPointSolver(
+            small, SolverOptions(tol=1e-8, kkt_backend="lanes")
+        )
+        assert keep.options.kkt_backend == "lanes"
+
+    def test_watchdog_inert_on_easy_problem_and_state_well_formed(self):
+        # watchdog_trials > 0 with the filter line search must not change
+        # the answer when the filter never rejects (the tentative-full-step
+        # machinery stays dormant), and the watchdog state fields must exist
+        nlp = _double_integrator_nlp(u_bound=1.0, terminal_ineq=True)
+        base = InteriorPointSolver(
+            nlp, SolverOptions(tol=1e-8, line_search="filter")
+        )
+        res0 = base.solve(jnp.asarray(nlp.z0)[None], max_iter=80)
+        assert bool(res0.converged[0])
+
+        wd = InteriorPointSolver(
+            nlp,
+            SolverOptions(tol=1e-8, line_search="filter", watchdog_trials=3),
+        )
+        state = wd.init_state(jnp.asarray(nlp.z0)[None])
+        assert state.wd_count is not None and state.wd_Z is not None
+        res1 = wd.solve(jnp.asarray(nlp.z0)[None], max_iter=80)
+        assert bool(res1.converged[0]), f"kkt_err={res1.kkt_err}"
+        np.testing.assert_allclose(
+            np.asarray(res1.Z[0, -1, 0]), np.asarray(res0.Z[0, -1, 0]),
+            atol=1e-6,
+        )
