@@ -77,6 +77,20 @@ def _extract_controls(prob, Z, control_name="a"):
     return a_all, dts_all
 
 
+def _build_ctx():
+    """Context for problem CONSTRUCTION: pin eager ops to the CPU device.
+
+    Building a problem issues ~750 small eager ops (device_puts, geodesic
+    assembly, scaling probes); on the relayed TPU runtime each is a relay
+    round trip, which turned the leakage build into 390+ s of dispatch
+    latency (measured).  Under jax.default_device(cpu) the build runs
+    host-side; only the jitted solve (created OUTSIDE this context) touches
+    the TPU."""
+    import jax
+
+    return jax.default_device(jax.local_devices(backend="cpu")[0])
+
+
 def _timed(solver, seeds_fn, iters, repeats, dtype):
     """Compile + time repeated batched solves with FRESH seeds per repeat
     (the TPU relay caches identical (executable, input) pairs)."""
@@ -128,16 +142,19 @@ def bench_hadamard(qct, args, dtype):
     import jax
 
     B, T, dt = args.batch, 51, 0.2
-    sys_q = qct.QuantumSystem(qct.GATES["Z"], [qct.GATES["X"], qct.GATES["Y"]])
-    # Q/R chosen so the NLP optimum is well below the 1e-4 infidelity target
-    # (the README default Q=100, R=1e-2 optimum sits at ~2.7e-4)
-    prob = qct.UnitarySmoothPulseProblem(
-        sys_q, qct.GATES["H"], T, dt, Q=1e4, R=1e-3,
-        ipopt_options=_solver_options(qct, args),
-        piccolo_options=qct.PiccoloOptions(verbose=False),
-        rng=np.random.default_rng(0),
-    )
-    z0 = np.asarray(prob.initial_decision(1))[0]
+    with _build_ctx():
+        sys_q = qct.QuantumSystem(
+            qct.GATES["Z"], [qct.GATES["X"], qct.GATES["Y"]]
+        )
+        # Q/R chosen so the NLP optimum is well below the 1e-4 infidelity
+        # target (the README default Q=100, R=1e-2 optimum sits at ~2.7e-4)
+        prob = qct.UnitarySmoothPulseProblem(
+            sys_q, qct.GATES["H"], T, dt, Q=1e4, R=1e-3,
+            ipopt_options=_solver_options(qct, args),
+            piccolo_options=qct.PiccoloOptions(verbose=False),
+            rng=np.random.default_rng(0),
+        )
+        z0 = np.asarray(prob.initial_decision(1))[0]
     a_sl = prob.trajectory.comp_slice("a")
 
     def seeds(seed):
@@ -188,32 +205,44 @@ def bench_hadamard(qct, args, dtype):
 # --------------------------------------------------------------------- #
 def bench_min_time(qct, args, dtype):
     B, T, dt = args.batch, 51, 0.2
-    sys_q = qct.QuantumSystem(qct.GATES["Z"], [qct.GATES["X"], qct.GATES["Y"]])
-    # stage 1: high-quality fixed-time warm start (one solve)
-    warm = qct.UnitarySmoothPulseProblem(
-        sys_q, qct.GATES["H"], T, dt, Q=1e4, R=1e-3,
-        ipopt_options=_solver_options(qct, args, tol=1e-7, recalc_y="yes",
-                                      recalc_y_feas_tol=1e1),
-        piccolo_options=qct.PiccoloOptions(verbose=False, free_time=False),
-        rng=np.random.default_rng(0),
-    )
-    warm.solve(max_iter=80)
-    fid_warm = float(qct.unitary_rollout_fidelity(warm.trajectory, sys_q))
+    with _build_ctx():
+        sys_q = qct.QuantumSystem(
+            qct.GATES["Z"], [qct.GATES["X"], qct.GATES["Y"]]
+        )
+        # stage 1: high-quality fixed-time warm start (one solve; runs on
+        # the CPU device — B=1, build-time)
+        warm = qct.UnitarySmoothPulseProblem(
+            sys_q, qct.GATES["H"], T, dt, Q=1e4, R=1e-3,
+            ipopt_options=_solver_options(qct, args, tol=1e-7,
+                                          recalc_y="yes",
+                                          recalc_y_feas_tol=1e1),
+            piccolo_options=qct.PiccoloOptions(verbose=False,
+                                               free_time=False),
+            rng=np.random.default_rng(0),
+        )
+        warm.solve(max_iter=80)
+        fid_warm = float(
+            qct.unitary_rollout_fidelity(warm.trajectory, sys_q)
+        )
 
-    # stage 2: free-time minimum-time problem warm-started from stage 1
-    a_solved = np.asarray(warm.trajectory["a"])
-    traj2 = qct.initialize_unitary_trajectory(
-        qct.GATES["H"], T, dt, 2,
-        [np.ones(2), np.full(2, np.inf), np.ones(2)],
-        free_time=True, a_guess=a_solved, system=sys_q,
-    )
-    dur0 = float(traj2.duration())
-    mt = qct.UnitaryMinimumTimeProblem(
-        traj2, sys_q, warm.get_objective(), warm.integrators, [],
-        final_fidelity=0.9999, D=10.0,
-        ipopt_options=_solver_options(qct, args, tol=1e-6),
-    )
-    z0 = np.asarray(mt.initial_decision(1))[0]
+        # stage 2: free-time minimum-time problem warm-started from stage 1
+        a_solved = np.asarray(warm.trajectory["a"])
+        traj2 = qct.initialize_unitary_trajectory(
+            qct.GATES["H"], T, dt, 2,
+            [np.ones(2), np.full(2, np.inf), np.ones(2)],
+            free_time=True, a_guess=a_solved, system=sys_q,
+        )
+        dur0 = float(traj2.duration())
+        # D=1000 so the time objective overcomes the carried Q=1e4
+        # infidelity term (CPU sweep: D=10 -> durations GROW; D=100 ->
+        # -0.1%; D=1000 -> -2%/-3% at 44/80 iters with 100% of seeds
+        # holding fid >= 0.9999)
+        mt = qct.UnitaryMinimumTimeProblem(
+            traj2, sys_q, warm.get_objective(), warm.integrators, [],
+            final_fidelity=0.9999, D=1000.0,
+            ipopt_options=_solver_options(qct, args, tol=1e-6),
+        )
+        z0 = np.asarray(mt.initial_decision(1))[0]
     a_sl = mt.trajectory.comp_slice("a")
 
     def seeds(seed):
@@ -261,20 +290,24 @@ def bench_cnot(qct, args, dtype):
     YI = np.kron(qct.PAULIS["Y"], qct.PAULIS["I"])
     IX = np.kron(qct.PAULIS["I"], qct.PAULIS["X"])
     IY = np.kron(qct.PAULIS["I"], qct.PAULIS["Y"])
-    sys_q = qct.QuantumSystem(
-        0.1 * np.kron(qct.PAULIS["Z"], qct.PAULIS["Z"]), [ZX, XI, YI, IX, IY]
-    )
-    prob = qct.UnitarySmoothPulseProblem(
-        sys_q, qct.GATES["CX"], T, dt, Q=1e4, R=1e-3,
-        ipopt_options=_solver_options(qct, args),
-        piccolo_options=qct.PiccoloOptions(verbose=False, free_time=False),
-        rng=np.random.default_rng(7),
-    )
+    with _build_ctx():
+        sys_q = qct.QuantumSystem(
+            0.1 * np.kron(qct.PAULIS["Z"], qct.PAULIS["Z"]),
+            [ZX, XI, YI, IX, IY],
+        )
+        prob = qct.UnitarySmoothPulseProblem(
+            sys_q, qct.GATES["CX"], T, dt, Q=1e4, R=1e-3,
+            ipopt_options=_solver_options(qct, args),
+            piccolo_options=qct.PiccoloOptions(verbose=False,
+                                               free_time=False),
+            rng=np.random.default_rng(7),
+        )
 
     def seeds(seed):
-        return prob.multistart_initial_decisions(
-            B, sigma=0.3, rng=np.random.default_rng(seed)
-        )
+        with _build_ctx():
+            return np.asarray(prob.multistart_initial_decisions(
+                B, sigma=0.3, rng=np.random.default_rng(seed)
+            ))
 
     iters = args.iters_2q
     state, wall, compile_s = _timed(
@@ -308,19 +341,23 @@ def bench_transmon_leakage(qct, args, dtype):
     from quantumcollocation_tpu.systems import TransmonSystem
 
     B = max(args.batch // 2, 8)
-    T, dt = 40, 0.1
-    sys_q = TransmonSystem(omega=4.0, delta=0.2, levels=3)
-    U_goal = qct.EmbeddedOperator(qct.GATES["X"], sys_q)
-    prob = qct.UnitarySmoothPulseProblem(
-        sys_q, U_goal, T, dt, a_bound=0.5, Q=1e4, R=1e-3,
-        ipopt_options=_solver_options(qct, args),
-        piccolo_options=qct.PiccoloOptions(
-            verbose=False, leakage_suppression=True, R_leakage=1e-1,
-            free_time=False,
-        ),
-        rng=np.random.default_rng(11),
-    )
-    z0 = np.asarray(prob.initial_decision(1))[0]
+    # dt=0.2 (8 time units total): at dt=0.1 the problem's OPTIMUM sits at
+    # ~3e-3 subspace infidelity (CPU scan — pulse too short for the 0.5
+    # drive bound), so no iteration count can pass the 1e-3 bar
+    T, dt = 40, 0.2
+    with _build_ctx():
+        sys_q = TransmonSystem(omega=4.0, delta=0.2, levels=3)
+        U_goal = qct.EmbeddedOperator(qct.GATES["X"], sys_q)
+        prob = qct.UnitarySmoothPulseProblem(
+            sys_q, U_goal, T, dt, a_bound=0.5, Q=1e4, R=1e-3,
+            ipopt_options=_solver_options(qct, args),
+            piccolo_options=qct.PiccoloOptions(
+                verbose=False, leakage_suppression=True, R_leakage=1e-1,
+                free_time=False,
+            ),
+            rng=np.random.default_rng(11),
+        )
+        z0 = np.asarray(prob.initial_decision(1))[0]
     a_sl = prob.trajectory.comp_slice("a")
 
     def seeds(seed):
@@ -381,14 +418,17 @@ def bench_su4_multigoal(qct, args, dtype):
     YI = np.kron(qct.PAULIS["Y"], qct.PAULIS["I"])
     IX = np.kron(qct.PAULIS["I"], qct.PAULIS["X"])
     IY = np.kron(qct.PAULIS["I"], qct.PAULIS["Y"])
-    sys_q = qct.QuantumSystem(
-        0.1 * np.kron(qct.PAULIS["Z"], qct.PAULIS["Z"]), [ZX, XI, YI, IX, IY]
-    )
-    prob = UnitaryMultiGoalProblem(
-        sys_q, T, dt, Q=1e4, R=1e-3,
-        ipopt_options=_solver_options(qct, args),
-        piccolo_options=qct.PiccoloOptions(verbose=False, free_time=False),
-    )
+    with _build_ctx():
+        sys_q = qct.QuantumSystem(
+            0.1 * np.kron(qct.PAULIS["Z"], qct.PAULIS["Z"]),
+            [ZX, XI, YI, IX, IY],
+        )
+        prob = UnitaryMultiGoalProblem(
+            sys_q, T, dt, Q=1e4, R=1e-3,
+            ipopt_options=_solver_options(qct, args),
+            piccolo_options=qct.PiccoloOptions(verbose=False,
+                                               free_time=False),
+        )
     solver = prob.solver
     iters = args.iters_2q
 
@@ -402,10 +442,11 @@ def bench_su4_multigoal(qct, args, dtype):
     all_fids = []
     for w in range(waves):
         gw = goals[w * n_goals : (w + 1) * n_goals]
-        Z0 = multigoal_initial_decisions(
-            prob, gw, n_seeds_per_goal=n_seeds, sigma=0.2,
-            rng=np.random.default_rng(100 + w),
-        )
+        with _build_ctx():
+            Z0 = np.asarray(multigoal_initial_decisions(
+                prob, gw, n_seeds_per_goal=n_seeds, sigma=0.2,
+                rng=np.random.default_rng(100 + w),
+            ))
         Z0j = jnp.asarray(Z0, dtype)
         jax.block_until_ready(Z0j)
         if compile_s is None:  # first wave pays compilation
@@ -414,10 +455,11 @@ def bench_su4_multigoal(qct, args, dtype):
             jax.block_until_ready(state)
             compile_s = time.perf_counter() - t0
             # re-time the same wave with fresh control noise for honest wall
-            Z0 = multigoal_initial_decisions(
-                prob, gw, n_seeds_per_goal=n_seeds, sigma=0.2,
-                rng=np.random.default_rng(200 + w),
-            )
+            with _build_ctx():
+                Z0 = np.asarray(multigoal_initial_decisions(
+                    prob, gw, n_seeds_per_goal=n_seeds, sigma=0.2,
+                    rng=np.random.default_rng(200 + w),
+                ))
             Z0j = jnp.asarray(Z0, dtype)
             jax.block_until_ready(Z0j)
         t0 = time.perf_counter()
@@ -426,9 +468,10 @@ def bench_su4_multigoal(qct, args, dtype):
         _ = float(np.asarray(state.kkt_err).sum())
         total_wall += time.perf_counter() - t0
         Z = solver.unscale(np.asarray(state.Z))
-        fids = multigoal_rollout_fidelities(
-            prob, Z, gw, n_seeds_per_goal=n_seeds
-        )
+        with _build_ctx():
+            fids = np.asarray(multigoal_rollout_fidelities(
+                prob, Z, gw, n_seeds_per_goal=n_seeds
+            ))
         all_fids.append(fids)
 
     fids = np.concatenate(all_fids)
