@@ -421,8 +421,14 @@ class InteriorPointSolver:
         lb = jnp.asarray(self._lb, dtype)
         ub = jnp.asarray(self._ub, dtype)
 
-        sl = jnp.where(has_lb > 0, Z - lb, 1.0)  # slack to lower bound
-        su = jnp.where(has_ub > 0, ub - Z, 1.0)
+        # slacks carry a dtype-aware floor: a primal step can land EXACTLY
+        # on a bound in floating point (observed: adaptive-mu min-time run,
+        # Z - lb == 0 at iter 85 -> mu/sl = inf -> NaN duals).  The floor
+        # keeps every 1/sl, mu/sl, z/sl finite; fraction-to-boundary still
+        # governs the actual step sizes.
+        tiny = 1e-100 if Z.dtype == jnp.float64 else 1e-30
+        sl = jnp.where(has_lb > 0, jnp.maximum(Z - lb, tiny), 1.0)
+        su = jnp.where(has_ub > 0, jnp.maximum(ub - Z, tiny), 1.0)
 
         # ---------------- residuals & KKT error ---------------- #
         # precision ladder: function/derivative evaluation may run at fewer
@@ -527,7 +533,15 @@ class InteriorPointSolver:
             avg = csum / n_comp
             xi = jnp.clip(cmin / jnp.maximum(avg, 1e-300), 1e-12, 1.0)
             sigma_c = 0.1 * jnp.minimum(0.05 * (1.0 - xi) / xi, 2.0) ** 3
-            mu = jnp.clip(sigma_c * avg, opts.tol / 10.0, opts.mu_max)
+            mu_loqo = sigma_c * avg
+            # per-iteration trust region on the oracle (stabilization): the
+            # raw LOQO target whipsaws mu across ~6 orders of magnitude on
+            # ill-centered iterates (measured on min-time: lg(mu) bouncing
+            # -0.2 -> -9 -> -2.6), blowing up the duals and eventually the
+            # whole solve.  Limit each update to [x0.01, x10] of current mu
+            # (Ipopt's adaptive globalization serves the same role).
+            mu_loqo = jnp.clip(mu_loqo, 1e-2 * mu, 1e1 * mu)
+            mu = jnp.clip(mu_loqo, opts.tol / 10.0, opts.mu_max)
         else:
             E_mu = jnp.maximum(jnp.maximum(E_dual, E_pr), comp_err(mu))
             mu = jnp.where(
@@ -538,7 +552,13 @@ class InteriorPointSolver:
                 ),
                 mu,
             )
-        mu_changed = mu != mu_prev
+        if opts.mu_strategy == "adaptive":
+            # the oracle nudges mu EVERY iteration; resetting the filter
+            # each time would disable it entirely.  Reset only on a
+            # substantial (>= 10x) re-centering.
+            mu_changed = mu < 0.1 * mu_prev
+        else:
+            mu_changed = mu != mu_prev
         tau = jnp.maximum(opts.tau_min, 1.0 - mu)
 
         # ---------------- assemble condensed KKT blocks ---------------- #
@@ -1047,14 +1067,21 @@ class InteriorPointSolver:
         lam_norm = jnp.max(jnp.abs(lam_new), initial=1.0)
         lam_new = lam_new * jnp.minimum(1.0, lam_cap / lam_norm)
         sig_new = sig + scale * alpha * dsig if m > 0 else sig
+        if m > 0:
+            # same floating-point floor as the bound slacks (mu/sig, w/sig
+            # divisions downstream)
+            sig_new = jnp.maximum(
+                sig_new, 1e-100 if Z.dtype == jnp.float64 else 1e-30
+            )
         w_new = w + scale * a_dual * dw_ineq if m > 0 else w
         zl_new = zl + scale * a_dual * dzl
         zu_new = zu + scale * a_dual * dzu
 
         # Ipopt kappa_Sigma safeguard: keep bound duals near mu/slack
         kappa_sig = 1e10
-        sl_new = jnp.where(has_lb > 0, Z_new - lb, 1.0)
-        su_new = jnp.where(has_ub > 0, ub - Z_new, 1.0)
+        tiny = 1e-100 if Z.dtype == jnp.float64 else 1e-30
+        sl_new = jnp.where(has_lb > 0, jnp.maximum(Z_new - lb, tiny), 1.0)
+        su_new = jnp.where(has_ub > 0, jnp.maximum(ub - Z_new, tiny), 1.0)
         zl_new = jnp.where(
             upd,
             jnp.clip(zl_new, mu / (kappa_sig * sl_new), kappa_sig * mu / sl_new)
