@@ -671,7 +671,9 @@ def main():
         "precision": args.precision,
         "kkt_backend": args.kkt_backend,
         **{k: v for k, v in head.items() if k not in ("metric", "value", "unit")},
-        "configs": {k: v for k, v in results.items() if k != "hadamard"},
+        # ALL config records (headline's too, so its error text survives
+        # when the headline config itself fails)
+        "configs": results,
     }
     _emit(
         {
