@@ -46,21 +46,28 @@ def main():
         jax.default_backend() == "cpu" and jax.config.jax_enable_x64
     ) else jnp.float32
 
-    sys_q = qct.QuantumSystem(qct.GATES["Z"], [qct.GATES["X"], qct.GATES["Y"]])
+    cpu0 = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu0):
+        sys_q = qct.QuantumSystem(
+            qct.GATES["Z"], [qct.GATES["X"], qct.GATES["Y"]]
+        )
     results = {}
     for backend in [b.strip() for b in args.backends.split(",")]:
         for B in (1, 8):
-            prob = qct.UnitarySmoothPulseProblem(
-                sys_q, qct.GATES["H"], args.T, 0.2, Q=1e4, R=1e-3,
-                ipopt_options=qct.SolverOptions(
-                    print_level=1, tol=1e-5, kkt_backend=backend,
-                    matmul_precision="highest",
-                ),
-                piccolo_options=qct.PiccoloOptions(verbose=False),
-                rng=np.random.default_rng(0),
-            )
-            solver = prob.solver
-            z0 = np.asarray(prob.initial_decision(1))[0]
+            # build on the CPU device: each eager build op is a relay round
+            # trip on the tunneled TPU runtime (CLAUDE.md / bench._build_ctx)
+            with jax.default_device(cpu0):
+                prob = qct.UnitarySmoothPulseProblem(
+                    sys_q, qct.GATES["H"], args.T, 0.2, Q=1e4, R=1e-3,
+                    ipopt_options=qct.SolverOptions(
+                        print_level=1, tol=1e-5, kkt_backend=backend,
+                        matmul_precision="highest",
+                    ),
+                    piccolo_options=qct.PiccoloOptions(verbose=False),
+                    rng=np.random.default_rng(0),
+                )
+                solver = prob.solver
+                z0 = np.asarray(prob.initial_decision(1))[0]
             a_sl = prob.trajectory.comp_slice("a")
 
             def seeds(seed):
