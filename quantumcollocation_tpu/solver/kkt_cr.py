@@ -38,6 +38,13 @@ flight (interactive / latency-critical use).
 
 Cross-validated against the sequential-scan backends in
 tests/test_kkt_cr.py; latency measured by scripts/tpu_b1_latency.py.
+MEASURED (real v5e chip, 2026-08-20, artifacts/tpu_b1_latency_r03.json):
+at B=1 the cr backend runs correctly on TPU but is 1.9x slower than the
+xla scan at T=51 and 2.4x at T=201 — the ~2x FLOP overhead plus the eigh
+eliminations outweigh the O(log T) depth win at these horizons, and the
+lanes Pallas backend is the actual B=1 latency winner (3.0 ms/iter).
+Keep cr for much longer horizons / scan-hostile hardware; it is not the
+default anywhere.
 """
 
 from __future__ import annotations
