@@ -217,11 +217,15 @@ def bench_min_time(qct, args, dtype):
         )
         # stage 1: high-quality fixed-time warm start (one solve; runs on
         # the CPU device — B=1, build-time)
+        # kkt_backend="xla": this one-shot B=1 warm solve runs on the CPU
+        # device (inside _build_ctx) where the lanes Pallas kernels would
+        # need interpret mode ("Only interpret mode is supported on CPU")
         warm = qct.UnitarySmoothPulseProblem(
             sys_q, qct.GATES["H"], T, dt, Q=1e4, R=1e-3,
             ipopt_options=_solver_options(qct, args, tol=1e-7,
                                           recalc_y="yes",
-                                          recalc_y_feas_tol=1e1),
+                                          recalc_y_feas_tol=1e1,
+                                          kkt_backend="xla"),
             piccolo_options=qct.PiccoloOptions(verbose=False,
                                                free_time=False),
             rng=np.random.default_rng(0),
