@@ -216,7 +216,17 @@ class AnalyticStageDynamics:
         pairs; elsewhere (or with use_kernel=False) the pure-JAX bank is
         vmapped over the batch."""
         if use_kernel is None:
-            use_kernel = jax.default_backend() == "tpu"
+            # respect jax.default_device(cpu) contexts (bench/_build_ctx
+            # warm solves): default_backend() stays "tpu" there, but the
+            # computation lowers for CPU, where a non-interpret pallas_call
+            # fails with "Only interpret mode is supported on CPU backend"
+            dev = jax.config.jax_default_device
+            platform = (
+                getattr(dev, "platform", dev)
+                if dev is not None
+                else jax.default_backend()
+            )
+            use_kernel = platform == "tpu"
         if not use_kernel:
             return jax.vmap(
                 lambda Z: tuple(
