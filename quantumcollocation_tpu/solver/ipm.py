@@ -1476,7 +1476,12 @@ class InteriorPointSolver:
 
     @partial(jax.jit, static_argnums=(0,))
     def step(self, state: IPMState) -> IPMState:
-        """One batched IPM iteration."""
+        """One batched IPM iteration.
+
+        NOT donated: the callback protocol hands users the IPMState, which
+        they may legitimately hold across iterations (history callbacks);
+        the no-callback `_solve_loop` path donates instead.
+        """
         # full f32 matmul precision: TPU default (bf16 passes) is not enough
         # for the condensed KKT arithmetic
         with jax.default_matmul_precision(self.options.matmul_precision):
@@ -1563,8 +1568,11 @@ class InteriorPointSolver:
             f"{st['alpha_pr']:>9.2e} {st['ls_trials']:>3}"
         )
 
-    @partial(jax.jit, static_argnums=(0, 2))
+    @partial(jax.jit, static_argnums=(0, 2), donate_argnums=(1,))
     def _solve_loop(self, state: IPMState, max_iter: int) -> IPMState:
+        # donate_argnums: the initial state's buffers are reused for the
+        # while_loop carry (no extra copy; ignored when traced inside an
+        # outer jit such as bench.py's solve wrapper)
         def cond(carry):
             k, st = carry
             return (k < max_iter) & (~jnp.all(st.converged))
