@@ -91,15 +91,32 @@ def _build_ctx():
     return jax.default_device(jax.local_devices(backend="cpu")[0])
 
 
-def _timed(solver, seeds_fn, iters, repeats, dtype):
+def _timed(solver, seeds_fn, iters, repeats, dtype, seg=None):
     """Compile + time repeated batched solves with FRESH seeds per repeat
-    (the TPU relay caches identical (executable, input) pairs)."""
+    (the TPU relay caches identical (executable, input) pairs).
+
+    seg: if set, run the solve as resumable `seg`-iteration _solve_loop
+    segments instead of one device call — the relay kills single calls
+    running ≳100 s (observed UNAVAILABLE on the 80-iter 2-qubit configs),
+    and IPMState chains exactly across segments.  Leave None for sub-second
+    calls: every extra device call costs a relay round trip.
+    """
     import jax
     import jax.numpy as jnp
 
-    solve = jax.jit(
-        lambda z: solver._solve_loop(solver.init_state(z), iters)
-    )
+    if seg:
+        segs = [seg] * (iters // seg) + ([iters % seg] if iters % seg else [])
+
+        def solve(z):
+            st = solver._init_state_jit(z)
+            for n in segs:
+                st = solver._solve_loop(st, n)
+            return st
+
+    else:
+        solve = jax.jit(
+            lambda z: solver._solve_loop(solver.init_state(z), iters)
+        )
     t_c0 = time.perf_counter()
     state = solve(jnp.asarray(seeds_fn(7), dtype))
     jax.block_until_ready(state)
@@ -321,7 +338,7 @@ def bench_cnot(qct, args, dtype):
 
     iters = args.iters_2q
     state, wall, compile_s = _timed(
-        prob.solver, seeds, iters, args.repeats, dtype
+        prob.solver, seeds, iters, args.repeats, dtype, seg=10
     )
     Z = prob.solver.unscale(np.asarray(state.Z))
     a_all, dts_all = _extract_controls(prob, Z)
@@ -380,7 +397,7 @@ def bench_transmon_leakage(qct, args, dtype):
 
     iters = args.iters_2q
     state, wall, compile_s = _timed(
-        prob.solver, seeds, iters, args.repeats, dtype
+        prob.solver, seeds, iters, args.repeats, dtype, seg=10
     )
     Z = prob.solver.unscale(np.asarray(state.Z))
     a_all, dts_all = _extract_controls(prob, Z)
@@ -445,7 +462,20 @@ def bench_su4_multigoal(qct, args, dtype):
     rng = np.random.default_rng(2024)
     goals = [random_su(4, rng) for _ in range(n_goals * waves)]
 
-    solve = jax.jit(lambda z: solver._solve_loop(solver.init_state(z), iters))
+    # The relayed TPU kills single device calls running longer than ~1-2
+    # minutes (observed: the B>=512 80-iter while_loop dies UNAVAILABLE at
+    # ~100 s while the same shapes at 20 iters complete in 48 s); run the
+    # solve as short resumable segments — IPMState is a valid while_loop
+    # carry, so chaining _solve_loop segments is exact (converged members
+    # exit the loop immediately; n_iter keeps the true total).
+    seg = 10
+    segs = [seg] * (iters // seg) + ([iters % seg] if iters % seg else [])
+
+    def solve(z):
+        st = solver._init_state_jit(z)
+        for n in segs:
+            st = solver._solve_loop(st, n)
+        return st
 
     total_wall = 0.0
     compile_s = None
@@ -585,11 +615,12 @@ def main():
         "--configs", type=str, default="all",
         help="comma list of hadamard,min_time,cnot,leakage,su4 (or all)",
     )
-    parser.add_argument("--su4-goals", dest="su4_goals", type=int, default=256)
+    parser.add_argument("--su4-goals", dest="su4_goals", type=int, default=128)
     parser.add_argument("--su4-seeds", dest="su4_seeds", type=int, default=4)
-    # 4 waves x 256 goals x 4 seeds = 4096 total seeds (the BASELINE-named
-    # su4 batch size)
-    parser.add_argument("--su4-waves", dest="su4_waves", type=int, default=4)
+    # 8 waves x 128 goals x 4 seeds = 4096 total seeds (the BASELINE-named
+    # su4 batch size); per-wave B=512 keeps each segmented device call well
+    # under the relay's observed ~100 s single-call kill threshold
+    parser.add_argument("--su4-waves", dest="su4_waves", type=int, default=8)
     parser.add_argument(
         "--child", action="store_true",
         help="internal: run the requested configs in-process (no isolation)",
@@ -659,7 +690,12 @@ def main():
         else:
             # per-config process isolation: a TPU runtime error in one
             # config cannot poison the others' client
-            r = _run_config_subprocess(name, args, args.config_timeout)
+            to = args.config_timeout
+            if name == "su4":
+                # 8 segmented waves x ~180 s (measured on a ~2x-degraded
+                # relay) can brush 1500 s; give the 4096-seed config room
+                to = max(to, 3000)
+            r = _run_config_subprocess(name, args, to)
         r["config_total_s"] = round(time.perf_counter() - t0, 1)
         results[name] = r
         if name != "hadamard" and not args.child:
