@@ -265,14 +265,25 @@ class QuantumControlProblem:
         globals_dict.update(new_globals)
         return traj.with_data(data, global_data=globals_dict)
 
-    def solve(self, *, max_iter: int | None = None, callback=None):
+    def solve(
+        self,
+        *,
+        max_iter: int | None = None,
+        callback=None,
+        segment_iters: int | None = None,
+    ):
         """Solve and write the optimum back into `self.trajectory`.
 
         Mirrors the reference's `solve!(prob; max_iter, callback)`
         (README.md:115; callback protocol docs/literate/man/ipopt_callbacks.jl).
+        segment_iters splits the device loop into resumable segments for
+        call-duration-capped runtimes (see InteriorPointSolver.solve).
         """
         res = self.solver.solve(
-            self.initial_decision(1), max_iter=max_iter, callback=callback
+            self.initial_decision(1),
+            max_iter=max_iter,
+            callback=callback,
+            segment_iters=segment_iters,
         )
         self.result = res
         self.trajectory = self.write_back(np.asarray(res.Z[0]))
@@ -284,9 +295,17 @@ class QuantumControlProblem:
             )
         return self
 
-    def solve_batched(self, Z0, *, max_iter: int | None = None):
+    def solve_batched(
+        self,
+        Z0,
+        *,
+        max_iter: int | None = None,
+        segment_iters: int | None = None,
+    ):
         """Solve a batch of initial decisions (B, T, d_aug); returns IPMResult."""
-        return self.solver.solve(Z0, max_iter=max_iter)
+        return self.solver.solve(
+            Z0, max_iter=max_iter, segment_iters=segment_iters
+        )
 
     def multistart_initial_decisions(
         self, n_seeds: int, *, sigma: float = 0.1, rng=None
@@ -369,6 +388,7 @@ class QuantumControlProblem:
         sigma: float = 0.1,
         rng=None,
         max_iter: int | None = None,
+        segment_iters: int | None = None,
     ):
         """Batched multi-start solve: diverse rollout-consistent seeds
         advance in lockstep; the best (lowest objective) is kept.
@@ -377,7 +397,9 @@ class QuantumControlProblem:
         costs barely more than one solve on accelerator hardware.
         """
         Z0 = self.multistart_initial_decisions(n_seeds, sigma=sigma, rng=rng)
-        res = self.solver.solve(jnp.asarray(Z0), max_iter=max_iter)
+        res = self.solver.solve(
+            jnp.asarray(Z0), max_iter=max_iter, segment_iters=segment_iters
+        )
         self.result = res
         # prefer converged seeds; break ties by objective
         obj = np.asarray(res.objective)

@@ -1487,7 +1487,9 @@ class InteriorPointSolver:
         with jax.default_matmul_precision(self.options.matmul_precision):
             return self._step_impl(state)
 
-    def solve(self, Z0, *, max_iter=None, callback=None) -> IPMResult:
+    def solve(
+        self, Z0, *, max_iter=None, callback=None, segment_iters=None
+    ) -> IPMResult:
         """Run the IPM to convergence or max_iter.
 
         Z0: (B, T, d).  With callback (called with (iter, IPMState) each
@@ -1496,6 +1498,14 @@ class InteriorPointSolver:
         /root/reference/docs/literate/man/ipopt_callbacks.jl:17-37),
         iterations run one jitted step per Python loop turn.  Without, the
         whole loop is a single lax.while_loop on device.
+
+        segment_iters: if set (and no callback), run the device loop as
+        resumable segments of at most this many iterations instead of one
+        long call.  Relayed/preemptible TPU runtimes kill single device
+        calls running longer than ~1-2 minutes; segments chain exactly
+        (IPMState is the while_loop carry, so the iterate sequence is
+        bitwise identical) at the cost of one host convergence check per
+        segment.  10-20 is a good value for multi-minute solves.
         """
         max_iter = max_iter or self.options.max_iter
         state = self._init_state_jit(jnp.asarray(Z0))
@@ -1514,6 +1524,14 @@ class InteriorPointSolver:
                     self._print_iter_row(k, state)
                 if callback is not None and callback(k, state) is False:
                     break
+                if bool(jnp.all(state.converged)):
+                    break
+        elif segment_iters:
+            done = 0
+            while done < max_iter:
+                n = min(int(segment_iters), max_iter - done)
+                state = self._solve_loop(state, n)
+                done += n
                 if bool(jnp.all(state.converged)):
                     break
         else:

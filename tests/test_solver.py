@@ -162,6 +162,21 @@ class TestIPM:
         for b in range(1, 4):
             np.testing.assert_allclose(Zs[b, -1, 0], Zs[0, -1, 0], atol=1e-5)
 
+    def test_segmented_solve_matches_single_call(self):
+        # segment_iters chains _solve_loop calls through the IPMState carry:
+        # the iterate sequence must be identical to one long device call
+        # (the public answer to call-duration-capped relayed TPU runtimes)
+        nlp = _double_integrator_nlp(u_bound=1.0)
+        solver = InteriorPointSolver(nlp, SolverOptions(tol=1e-8))
+        Z0 = jnp.asarray(nlp.z0)[None]
+        res_one = solver.solve(Z0, max_iter=40)
+        res_seg = solver.solve(Z0, max_iter=40, segment_iters=7)
+        assert bool(res_seg.converged[0])
+        np.testing.assert_allclose(
+            np.asarray(res_seg.Z), np.asarray(res_one.Z), atol=1e-12
+        )
+        assert int(res_seg.n_iter[0]) == int(res_one.n_iter[0])
+
     def test_callback_protocol(self):
         nlp = _double_integrator_nlp()
         solver = InteriorPointSolver(nlp, SolverOptions(tol=1e-8))
