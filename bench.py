@@ -647,6 +647,14 @@ def main():
     if in_process:
         import jax
 
+        from quantumcollocation_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
+
+        # persistent compile cache: compile_s was 15-25 s/config/run with
+        # zero cross-run reuse before this (VERDICT r3)
+        enable_persistent_cache()
+
         if args.cpu:
             # note: the environment's sitecustomize pins jax_platforms to
             # "axon,cpu"; an explicit config update is required to override
@@ -691,10 +699,12 @@ def main():
             # per-config process isolation: a TPU runtime error in one
             # config cannot poison the others' client
             to = args.config_timeout
-            if name == "su4":
+            if name == "su4" and args.config_timeout == 1500:
                 # 8 segmented waves x ~180 s (measured on a ~2x-degraded
-                # relay) can brush 1500 s; give the 4096-seed config room
-                to = max(to, 3000)
+                # relay) can brush 1500 s; raise the DEFAULT timeout for
+                # the 4096-seed config, but respect an explicit
+                # --config-timeout override
+                to = 3000
             r = _run_config_subprocess(name, args, to)
         r["config_total_s"] = round(time.perf_counter() - t0, 1)
         results[name] = r

@@ -1506,8 +1506,15 @@ class InteriorPointSolver:
         (IPMState is the while_loop carry, so the iterate sequence is
         bitwise identical) at the cost of one host convergence check per
         segment.  10-20 is a good value for multi-minute solves.
+        Ignored on the per-step host-loop path, i.e. when a callback is
+        given OR print_level >= 5 activates the live iteration table
+        (each iteration is already its own device call there).
         """
         max_iter = max_iter or self.options.max_iter
+        if segment_iters is not None and int(segment_iters) < 1:
+            raise ValueError(
+                f"segment_iters must be >= 1, got {segment_iters}"
+            )
         state = self._init_state_jit(jnp.asarray(Z0))
 
         live_table = self.options.print_level >= 5
