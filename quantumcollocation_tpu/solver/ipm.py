@@ -119,6 +119,11 @@ class _KKTIn(NamedTuple):
     # the KKT zz-block is H_base - U M^{-1} U^T, applied by SMW
     U: Any = None  # (T*d, 2*mem)
     M: Any = None  # (2*mem, 2*mem)
+    # rho*J^T J lift scale, computed from the PRE-BARRIER Lagrangian
+    # Hessian (the barrier Sigma terms are PSD and explode as slacks -> 0;
+    # including them was measured to push rho to ~4e10 near convergence,
+    # drowning the recovered multipliers in conditioning noise)
+    rho0: Any = 0.0  # scalar per instance
 
 
 class _IterAux(NamedTuple):
@@ -592,6 +597,18 @@ class InteriorPointSolver:
                 qn_S = qn_Y = qn_sty = qn_count = qn_sigma = None
                 U_lr = M_lr = None
 
+        # rho*J^T J lift scale from the PRE-BARRIER Lagrangian Hessian:
+        # a Gershgorin bound on the block-tridiagonal row sums |H_t| + |C_t|
+        # + |C_{t-1}^T| — the indefinite part the lift must dominate.  The
+        # PSD barrier terms added below are deliberately excluded.
+        if opts.kkt_aug and not self.qn_lbfgs:
+            rowsum = jnp.sum(jnp.abs(H), axis=-1)  # (T, d)
+            rowsum = rowsum.at[:-1].add(jnp.sum(jnp.abs(C), axis=-1))
+            rowsum = rowsum.at[1:].add(jnp.sum(jnp.abs(C), axis=-2))
+            rho0 = opts.kkt_aug_rho_factor * jnp.max(rowsum)
+        else:
+            rho0 = jnp.zeros((), Z.dtype)
+
         Sig_l = jnp.where(has_lb > 0, zl / sl, 0.0)
         Sig_u = jnp.where(has_ub > 0, zu / su, 0.0)
         H = H + jax.vmap(jnp.diag)(Sig_l + Sig_u)
@@ -620,7 +637,9 @@ class InteriorPointSolver:
             + jnp.where(has_ub > 0, mu / su, 0.0)
         ) * free
 
-        kkt_in = _KKTIn(H=H, C=C, A=A, B=Bj, rz=-r_z, rnu=-F, U=U_lr, M=M_lr)
+        kkt_in = _KKTIn(
+            H=H, C=C, A=A, B=Bj, rz=-r_z, rnu=-F, U=U_lr, M=M_lr, rho0=rho0
+        )
         aux = _IterAux(
             F=F,
             g=g,
@@ -799,12 +818,17 @@ class InteriorPointSolver:
             a_d = jnp.minimum(a_d, max_step(w, dw_v, jnp.ones_like(w)))
         return dsig_v, dw_v, dzl_v, dzu_v, a_p, a_d
 
-    def _soc_step(self, state: IPMState, aux: "_IterAux", dz, fac):
+    def _soc_step(self, state: IPMState, aux: "_IterAux", dz, fac,
+                  rho_used=None, A_blk=None, B_blk=None):
         """Batched second-order-correction re-solve (Ipopt step A-5.1): the
         corrected defect rhs is built per instance at the full trial step,
         then re-solved against the KEPT factorization — batched OUTSIDE the
         instance vmap so the lanes backend runs its fused rhs-only sweeps
-        (resolve_kkt_lanes; triangular work only, no refactorization)."""
+        (resolve_kkt_lanes; triangular work only, no refactorization).
+
+        rho_used/A_blk/B_blk: when the accepted factorization carried the
+        rho*J^T J lift (kkt_aug), the re-solve rhs needs the matching
+        rz + rho*J^T rnu transform."""
         opts = self.options
         f = self.funcs
         m = self.nlp.m
@@ -827,14 +851,25 @@ class InteriorPointSolver:
             return rnu_soc, theta_grew
 
         rnu_soc, theta_grew = jax.vmap(rhs)(state, aux, dz)
+        rz_soc = aux.rz_kkt
+        if rho_used is not None and opts.kkt_aug:
+            # augmented-factor rhs transform: rz + rho * J^T rnu
+            JT_r = jnp.zeros_like(rz_soc)
+            JT_r = JT_r.at[:, :-1].add(
+                jnp.einsum("btsd,bts->btd", A_blk, rnu_soc)
+            )
+            JT_r = JT_r.at[:, 1:].add(
+                jnp.einsum("btsd,bts->btd", B_blk, rnu_soc)
+            )
+            rz_soc = rz_soc + rho_used[:, None, None] * JT_r
         if isinstance(fac, LanesFactors):
             dz_c, nu_c, ok_c = resolve_kkt_lanes(
-                fac, aux.rz_kkt, rnu_soc,
+                fac, rz_soc, rnu_soc,
                 interpret=jax.default_backend() != "tpu",
             )
         else:
             dz_c, nu_c, ok_c = jax.vmap(solve_with_factors)(
-                fac, aux.rz_kkt, rnu_soc
+                fac, rz_soc, rnu_soc
             )
         return dz_c, nu_c, ok_c, theta_grew
 
@@ -1296,23 +1331,62 @@ class InteriorPointSolver:
             nui = nu0 - Wnu @ hh
             return dzi, nui, okm & jnp.all(jnp.isfinite(hh))
 
-        def attempt(dw):
+        # rho*J^T J inertia lift (see SolverOptions.kkt_aug): an EXACT
+        # transform of the saddle system — adding rho*J^T*(J dz - rnu) = 0
+        # to the z rows gives (H + rho J^T J) dz + J^T nu = rz + rho J^T rnu
+        # with the SAME solution (dz, nu) — that keeps the block-tridiagonal
+        # structure (J is block-bidiagonal, so J^T J is block-tridiagonal)
+        # while making the stage-wise Cholesky PD condition track the true
+        # reduced-Hessian inertia instead of demanding delta_w ~ ||H||.
+        aug_on = opts.kkt_aug and not self.qn_lbfgs
+        if aug_on:
+            # per-instance lift scale: must dominate the PRE-BARRIER
+            # Lagrangian curvature (computed in _iteration_pre; the PSD
+            # barrier terms are excluded — see _KKTIn.rho0).  L-BFGS mode is
+            # excluded: its sigma*I base Hessian is PD by construction, so
+            # the lift never has work to do there.
+            rho_base = kkt_in.rho0
+            S_AA = jnp.zeros_like(H)
+            S_AA = S_AA.at[:, :-1].add(jnp.einsum("btsi,btsj->btij", A, A))
+            S_AA = S_AA.at[:, 1:].add(jnp.einsum("btsi,btsj->btij", Bj, Bj))
+            S_AB = jnp.einsum("btsi,btsj->btij", A, Bj)  # (B, T-1, d, d)
+        else:
+            rho_base = jnp.zeros((Bt,), dtype)
+            S_AA = S_AB = None
+
+        def attempt(dw, rho, rz_v, rnu_v):
             Hreg = H + dw[:, None, None, None] * eye_d
+            if aug_on:
+                re = rho[:, None, None, None]
+                Hreg = Hreg + re * S_AA
+                C_in = C + re * S_AB
+                JT_v = jnp.zeros_like(rz_v)
+                JT_v = JT_v.at[:, :-1].add(
+                    jnp.einsum("btsd,bts->btd", A, rnu_v)
+                )
+                JT_v = JT_v.at[:, 1:].add(
+                    jnp.einsum("btsd,bts->btd", Bj, rnu_v)
+                )
+                rz_in = rz_v + rho[:, None, None] * JT_v
+            else:
+                C_in, rz_in = C, rz_v
+            rnu = rnu_v
             if cr:  # block cyclic reduction: parallel-in-T latency path
                 if self.qn_lbfgs:
                     dz, nu, ok = jax.vmap(_cr_smw)(
-                        Hreg, C, A, Bj, rz, rnu, U_lr, M_lr
+                        Hreg, C_in, A, Bj, rz_in, rnu, U_lr, M_lr
                     )
                 else:
                     dz, nu, ok = jax.vmap(
                         lambda h, c, a, b, z, n: solve_kkt_cr(
                             h, c, a, b, z, n, opts.delta_c
                         )
-                    )(Hreg, C, A, Bj, rz, rnu)
+                    )(Hreg, C_in, A, Bj, rz_in, rnu)
                 return dz, nu, ok, ()
             if lanes and not fused_lanes:  # lanes_scan cross-validation path
                 dz, nu, ok = solve_kkt_lanes_scan(
-                    Hreg, C, A, Bj, rz, rnu, opts.delta_c, interpret=interp
+                    Hreg, C_in, A, Bj, rz_in, rnu, opts.delta_c,
+                    interpret=interp,
                 )
                 return dz, nu, ok, ()
             if fused_lanes:
@@ -1321,7 +1395,7 @@ class InteriorPointSolver:
                     return dz, nu, ok, ()
                 if keep_fac:
                     dz, nu, ok, facl = solve_kkt_lanes(
-                        Hreg, C, A, Bj, rz, rnu, opts.delta_c,
+                        Hreg, C_in, A, Bj, rz_in, rnu, opts.delta_c,
                         interpret=interp, want_factors=True,
                     )
                     # constraint blocks are dw-independent; carry only the
@@ -1330,16 +1404,17 @@ class InteriorPointSolver:
                         facl.LP, facl.LS, facl.XA, facl.G, facl.LPf
                     )
                 dz, nu, ok = solve_kkt_lanes(
-                    Hreg, C, A, Bj, rz, rnu, opts.delta_c, interpret=interp
+                    Hreg, C_in, A, Bj, rz_in, rnu, opts.delta_c,
+                    interpret=interp,
                 )
                 return dz, nu, ok, ()
             fac = jax.vmap(
                 lambda h, c, a, b: factor_kkt(h, c, a, b, opts.delta_c)
-            )(Hreg, C, A, Bj)
+            )(Hreg, C_in, A, Bj)
             if self.qn_lbfgs:
-                dz, nu, ok = jax.vmap(_smw_solve)(fac, rz, rnu, U_lr, M_lr)
+                dz, nu, ok = jax.vmap(_smw_solve)(fac, rz_in, rnu, U_lr, M_lr)
             else:
-                dz, nu, ok = jax.vmap(solve_with_factors)(fac, rz, rnu)
+                dz, nu, ok = jax.vmap(solve_with_factors)(fac, rz_in, rnu)
             # constraint blocks are dw-independent; carry only the factors
             fac_carry = (
                 (fac.L_P, fac.L_S, fac.X_A, fac.G, fac.L_final)
@@ -1349,11 +1424,11 @@ class InteriorPointSolver:
             return dz, nu, ok, fac_carry
 
         def cond_fn(carry):
-            k, dw_try, dw_used, dz, nu, ok, facc = carry
+            k, dw_try, dw_used, rho_used, dz, nu, ok, facc = carry
             return (~ok.all()) & (k < 12)
 
         def body_fn(carry):
-            k, dw_try, dw_used, dz, nu, ok, facc = carry
+            k, dw_try, dw_used, rho_used, dz, nu, ok, facc = carry
             dw_next = jnp.where(
                 k == 0,
                 0.0,
@@ -1367,7 +1442,58 @@ class InteriorPointSolver:
                     jnp.minimum(dw_try * 8.0, opts.delta_w_max),
                 ),
             )
-            dz2, nu2, ok2, facc2 = attempt(dw_next)
+            # engage the rho*J^T J lift from the kkt_aug_start-th retry: the
+            # plain attempts (k=0 no reg, k=1 warm-started delta) keep the
+            # fast path bit-identical for well-conditioned instances
+            rho_next = (
+                jnp.where(k >= opts.kkt_aug_start, rho_base, 0.0)
+                if aug_on
+                else rho_base  # zeros when the lift is off
+            )
+            dz2, nu2, ok2, facc2 = attempt(dw_next, rho_next, rz, rnu)
+
+            if aug_on:
+                # one iterative-refinement pass against the ORIGINAL
+                # (delta_c-regularized) saddle system: the rho lift raises
+                # the condition number by ~rho, which was measured to floor
+                # the dual residual at ~0.4 (the refined correction solve
+                # reuses the same augmented operator, so the refined pair
+                # is accurate in the ORIGINAL system's metric)
+                def _refine(args):
+                    dzv, nuv = args
+                    Hdz = (
+                        jnp.einsum("btij,btj->bti", H, dzv)
+                        + dw_next[:, None, None] * dzv
+                    )
+                    Hdz = Hdz.at[:, :-1].add(
+                        jnp.einsum("btij,btj->bti", C, dzv[:, 1:])
+                    )
+                    Hdz = Hdz.at[:, 1:].add(
+                        jnp.einsum("btji,btj->bti", C, dzv[:, :-1])
+                    )
+                    JTnu = jnp.zeros_like(dzv)
+                    JTnu = JTnu.at[:, :-1].add(
+                        jnp.einsum("btsd,bts->btd", A, nuv)
+                    )
+                    JTnu = JTnu.at[:, 1:].add(
+                        jnp.einsum("btsd,bts->btd", Bj, nuv)
+                    )
+                    r1 = Hdz + JTnu - rz
+                    Jdz = jnp.einsum(
+                        "btsd,btd->bts", A, dzv[:, :-1]
+                    ) + jnp.einsum("btsd,btd->bts", Bj, dzv[:, 1:])
+                    r2 = Jdz - opts.delta_c * nuv - rnu
+                    ez, enu, okr, _ = attempt(dw_next, rho_next, -r1, -r2)
+                    ez = jnp.where(okr[:, None, None], ez, 0.0)
+                    enu = jnp.where(okr[:, None, None], enu, 0.0)
+                    return dzv + ez, nuv + enu
+
+                dz2, nu2 = jax.lax.cond(
+                    k >= opts.kkt_aug_start,
+                    _refine,
+                    lambda args: args,
+                    (dz2, nu2),
+                )
             # keep already-successful instances' results
             dz = jnp.where(ok[:, None, None], dz, dz2)
             nu = jnp.where(ok[:, None, None], nu, nu2)
@@ -1375,7 +1501,8 @@ class InteriorPointSolver:
                 lambda old, new: _bwhere(ok, old, new), facc, facc2
             )
             dw_used = jnp.where(ok, dw_used, dw_next)
-            return (k + 1, dw_next, dw_used, dz, nu, ok | ok2, facc)
+            rho_used = jnp.where(ok, rho_used, rho_next)
+            return (k + 1, dw_next, dw_used, rho_used, dz, nu, ok | ok2, facc)
 
         T, d, s = nlp.T, nlp.d, nlp.s
         if keep_fac and fused_lanes:
@@ -1401,29 +1528,41 @@ class InteriorPointSolver:
             jnp.zeros((), jnp.int32),
             jnp.zeros((Bt,), dtype),
             jnp.zeros((Bt,), dtype),
+            jnp.zeros((Bt,), dtype),
             jnp.zeros((Bt, T, d), dtype),
             jnp.zeros((Bt, T - 1, s), dtype),
             jnp.zeros((Bt,), bool),
             fac0,
         )
-        _, _, dw_used, dz, nu, ok, facc = jax.lax.while_loop(
+        _, _, dw_used, rho_used, dz, nu, ok, facc = jax.lax.while_loop(
             cond_fn, body_fn, init
         )
         delta_w_new = jnp.where(dw_used > 0, dw_used, delta_w0)
         dz = jnp.where(ok[:, None, None], dz, 0.0)
         dlam = -jnp.where(ok[:, None, None], nu, 0.0)
+        if keep_fac:
+            # the kept factors belong to the (possibly rho-augmented) system
+            # of the ACCEPTED attempt — store the matching coupling blocks
+            # so re-solves (SOC) are consistent, and hand back rho_used so
+            # the re-solve rhs gets the same J^T transform
+            C_used = (
+                C + rho_used[:, None, None, None] * S_AB
+                if aug_on
+                else C
+            )
         if keep_fac and fused_lanes:
             fac = LanesFactors(
                 facc[0], facc[1], facc[2], facc[3], facc[4],
-                to_lanes_layout(C), to_lanes_layout(A), to_lanes_layout(Bj),
+                to_lanes_layout(C_used), to_lanes_layout(A),
+                to_lanes_layout(Bj),
             )
         elif keep_fac:
             fac = KKTFactors(
-                facc[0], facc[1], facc[2], facc[3], facc[4], C, A, Bj
+                facc[0], facc[1], facc[2], facc[3], facc[4], C_used, A, Bj
             )
         else:
             fac = None
-        return dz, dlam, ok, dw_used, delta_w_new, fac
+        return dz, dlam, ok, dw_used, delta_w_new, fac, rho_used
 
     def _step_impl(self, state: IPMState) -> IPMState:
         # hoist the propagator-bank kernel OUT of the per-instance vmap so
@@ -1441,8 +1580,8 @@ class InteriorPointSolver:
             kkt_in, aux = jax.vmap(
                 lambda st: self._iteration_pre(st, None)
             )(state)
-        dz, dlam, ok, dw_used, delta_w_new, fac = self._solve_kkt_batched(
-            kkt_in, state.delta_w
+        dz, dlam, ok, dw_used, delta_w_new, fac, rho_used = (
+            self._solve_kkt_batched(kkt_in, state.delta_w)
         )
         if fac is None:
             return jax.vmap(
@@ -1450,7 +1589,9 @@ class InteriorPointSolver:
                     st, au, a, b, c, d_, e, None
                 )
             )(state, aux, dz, dlam, ok, dw_used, delta_w_new)
-        soc_data = self._soc_step(state, aux, dz, fac)
+        soc_data = self._soc_step(
+            state, aux, dz, fac, rho_used, kkt_in.A, kkt_in.B
+        )
         return jax.vmap(self._iteration_post)(
             state, aux, dz, dlam, ok, dw_used, delta_w_new, soc_data
         )

@@ -45,6 +45,25 @@ class SolverOptions:
     delta_w_min: float = 1e-20
     delta_w_max: float = 1e6
     delta_c: float = 1e-8
+    # rho*J^T J inertia lift: the stage-wise Riccati factorization needs
+    # every partially-condensed block PD — a condition that can demand
+    # delta_w 100-1000x larger than the true reduced-Hessian negative
+    # curvature (measured on free-dt min-time: lambda_min(reduced) = -0.46
+    # but plain factorization needs delta_w >= 100, crippling Newton into a
+    # crawl).  Adding rho*J^T J to the (1,1) block is an EXACT transform
+    # (J dz = rnu on the solution manifold => same (dz, nu)), preserves the
+    # block-tridiagonal structure, and makes the stage-PD condition track
+    # the true reduced inertia, so delta_w ~ |lambda_min| suffices.  Engaged
+    # only from the `kkt_aug_start`-th factorization retry (the plain fast
+    # path is unchanged); rho = kkt_aug_rho_factor * max_t ||H_t||_inf per
+    # instance.  kkt_aug=False disables.  kkt_aug_start=1 engages the lift
+    # on EVERY regularized retry (k=0 stays plain): a plain attempt at the
+    # warm-started large delta would otherwise succeed first and mask the
+    # small-delta augmented direction (measured: min-time stayed at
+    # delta_w ~ 100-800 with kkt_aug_start=2 because plain k=1 succeeded).
+    kkt_aug: bool = True
+    kkt_aug_rho_factor: float = 2.0
+    kkt_aug_start: int = 1
     # line search: "filter" (Wächter–Biegler filter acceptance: a trial is
     # accepted when it improves constraint violation OR barrier objective
     # vs. the filter, with an Armijo test on the barrier objective when the

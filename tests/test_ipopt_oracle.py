@@ -10,13 +10,13 @@ minimum-time (final-fidelity floor, unitary_minimum_time_problem.jl:80-84).
 Calibration notes (CPU f64, T=15 Hadamard):
 - bang-bang converges to full stationarity: measured E0 = 3.1e-8 with 60
   active inequality rows.
-- minimum-time is a hard nonconvex NLP: our IPM reaches f64 feasibility
-  (e_feas ~ 7e-7) with the fidelity floor held and the duration shortened,
-  but stationarity stalls at E0 ~ 3.4 — and the INDEPENDENT scipy
-  trust-constr solver, polished from our point for 200 more iterations,
-  still reports E0 ~ 2.3 and only a ~6% objective gain.  The test pins
-  that cross-solver envelope rather than pretending either solver
-  certifies stationarity here.
+- minimum-time USED to stall at E0 ~ 3.4 (rounds 2-3): the stage-wise
+  Riccati factorization demanded delta_w ~ 100-800 against a true reduced
+  negative curvature of only -0.46, crippling Newton.  The rho*J^T J
+  inertia lift (SolverOptions.kkt_aug, round 4) fixed it: measured
+  convergence in 37 iterations to E0 = 1.7e-8 with the fidelity floor
+  exactly active and the objective 10% below the old stall (153.6 ->
+  138.57).  The test now pins full Ipopt-grade stationarity.
 """
 
 import jax
@@ -61,9 +61,7 @@ def test_bang_bang_solution_certifies(f64, single_qubit):
     assert cert["e_feas"] <= 1e-8, cert
 
 
-def test_min_time_feasibility_certified_and_cross_solver_envelope(
-    f64, single_qubit
-):
+def test_min_time_reaches_certified_stationarity(f64, single_qubit):
     T, dt = 15, 0.4
     warm = qct.UnitarySmoothPulseProblem(
         single_qubit, qct.GATES["H"], T, dt, Q=100.0, R=1e-2,
@@ -88,26 +86,26 @@ def test_min_time_feasibility_certified_and_cross_solver_envelope(
     )
     mt.solve(max_iter=150)
 
-    # the oracle handles the fidelity-floor inequality rows in f64
+    # the free-dt min-time NLP must now reach a CERTIFIED KKT point (the
+    # rho*J^T J lift, SolverOptions.kkt_aug; measured: 37 iters, E0 1.7e-8)
+    assert bool(mt.result.converged[0]), float(mt.result.kkt_err[0])
     cert = kkt_certificate(mt)
     assert cert["n_g"] == T  # one floor row per knot
-    assert np.isfinite(cert["E0"])
-    assert cert["e_feas"] <= 1e-5, cert  # defects + floor feasible in f64
+    assert cert["E0"] <= 1e-4, cert  # Ipopt-grade stationarity
+    assert cert["e_feas"] <= 1e-6, cert  # defects + floor feasible in f64
 
     # reference CI bar (unitary_minimum_time_problem.jl:163-171): duration
-    # decreases while the fidelity floor holds
+    # decreases while the fidelity floor holds — and the floor is ACTIVE at
+    # the optimum (the min-time objective pushes against it)
     fid = float(qct.unitary_rollout_fidelity(mt.trajectory, single_qubit))
     assert fid >= 0.99 - 1e-6
+    assert fid <= 0.99 + 1e-3  # floor active: no fidelity left on the table
     assert float(mt.trajectory.duration()) < dur0
 
-    # cross-solver envelope: an independent interior-point method
-    # (trust-constr) polished from OUR solution for 200 iterations gains
-    # < 10% objective (measured ~6%) and does NOT reach stationarity
-    # either — the stall is problem-intrinsic, not a solver defect
+    # cross-solver check: scipy trust-constr polished from OUR certified
+    # point cannot meaningfully improve the objective
     res, flat = trust_constr_solve(
-        mt, Z_start=np.asarray(mt.result.Z[0]), max_iter=200
+        mt, Z_start=np.asarray(mt.result.Z[0]), max_iter=100
     )
     ours = cert["objective"]
-    assert res.fun >= ours * 0.90, (ours, res.fun)
-    cert_pol = kkt_certificate(mt, Z=flat.unpack(res.x))
-    assert np.isfinite(cert_pol["E0"])
+    assert res.fun >= ours * 0.999, (ours, res.fun)
