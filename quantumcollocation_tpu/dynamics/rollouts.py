@@ -97,9 +97,28 @@ def _rollout_states(Gs, dts, x0_mat, integrator, order, num_squarings):
             return _scan_apply_expv(
                 X, x0_mat, order=order, substeps=max(1, num_squarings)
             )
+        if integrator == "krylov":
+            from .expv import expv_krylov
+
+            X = Gs * dts[:, None, None]
+
+            def step(x, Xt):
+                x_next = jax.vmap(
+                    lambda col: expv_krylov(
+                        1.0, Xt, col, m=min(24, Xt.shape[0]),
+                        substeps=max(1, num_squarings // 4),
+                    ),
+                    in_axes=1,
+                    out_axes=1,
+                )(x)
+                return x_next, x_next
+
+            _, xs = jax.lax.scan(step, x0_mat, X)
+            return jnp.concatenate([x0_mat[None], xs], axis=0)
         if integrator != "expm":
             raise ValueError(
-                f"rollout integrator {integrator!r} not in ('expm', 'expv')"
+                f"rollout integrator {integrator!r} not in "
+                f"('expm', 'expv', 'krylov')"
             )
         Ps = _propagators(Gs, dts, order, num_squarings)
         return _scan_apply(Ps, x0_mat)
@@ -139,14 +158,43 @@ def unitary_rollout(
 
 def open_rollout(
     rho_iso_vec_init, controls, dts, system, *,
-    integrator="expm", order=8, num_squarings=8,
+    integrator="expm", order=8, num_squarings=8, krylov_dim=24,
 ):
-    """Density-matrix (Lindblad) rollout on iso-vec states. Returns (T, 2N^2)."""
+    """Density-matrix (Lindblad) rollout on iso-vec states. Returns (T, 2N^2).
+
+    integrator="expv" uses the matrix-free Krylov action
+    (dynamics/expv.py) through OpenQuantumSystem.lindblad_action — O(k N^3)
+    complex matmuls per matvec instead of a dense (2N^2, 2N^2)
+    superoperator, the only tractable path for large cat/composite Hilbert
+    spaces (/root/reference/src/quantum_system_templates/cats.jl:9-53).
+    Systems above OpenQuantumSystem.SUPEROP_MAX_LEVELS (no materialized
+    superoperators) take this path automatically.
+    """
+    from .expv import expv_krylov
+
     r0 = jnp.asarray(rho_iso_vec_init)
-    Ds = jax.vmap(system.lindblad_generator)(jnp.asarray(controls)[:-1])
+    a = jnp.asarray(controls)[:-1]
+    dt = jnp.asarray(dts)[:-1]
+    if integrator == "expv" or system.D_drift is None:
+        with jax.default_matmul_precision("highest"):
+
+            def step(rho, inp):
+                a_t, dt_t = inp
+                rho1 = expv_krylov(
+                    dt_t,
+                    None,
+                    rho,
+                    m=krylov_dim,
+                    substeps=max(1, num_squarings),
+                    matvec=lambda v: system.lindblad_action(a_t, v),
+                )
+                return rho1, rho1
+
+            _, rhos = jax.lax.scan(step, r0, (a, dt))
+        return jnp.concatenate([r0[None], rhos], axis=0)
+    Ds = jax.vmap(system.lindblad_generator)(a)
     return _rollout_states(
-        Ds, jnp.asarray(dts)[:-1], r0[:, None],
-        integrator, order, num_squarings,
+        Ds, dt, r0[:, None], integrator, order, num_squarings,
     )[..., 0]
 
 

@@ -183,7 +183,14 @@ class OpenQuantumSystem(QuantumSystem):
     D_drift: Any = None
     D_drives: Any = None
 
-    def __init__(self, H_drift=None, H_drives=None, L_dissipators=None, *, params=None):
+    # levels above which the dense (2N^2, 2N^2) iso superoperators are NOT
+    # materialized (a 39-level cat x buffer system would eat ~220 MB of
+    # device memory in superoperators alone); rollouts then go through the
+    # matrix-free `lindblad_action` + Krylov expv path
+    SUPEROP_MAX_LEVELS = 32
+
+    def __init__(self, H_drift=None, H_drives=None, L_dissipators=None, *,
+                 params=None, materialize_superops=None):
         super().__init__(H_drift, H_drives, params=params)
         Ls = L_dissipators if L_dissipators is not None else []
         if isinstance(Ls, (list, tuple)):
@@ -195,17 +202,25 @@ class OpenQuantumSystem(QuantumSystem):
         else:
             Ls = np.asarray(Ls, dtype=np.complex128)
         object.__setattr__(self, "L_dissipators", Ls)
-        object.__setattr__(
-            self, "D_drift", jnp.asarray(np.asarray(iso_D(self.H_drift, list(Ls))))
-        )
-        if self.n_drives:
-            D_dr = np.stack(
-                [np.asarray(iso_D(Hj, [])) for Hj in self.H_drives]
+        if materialize_superops is None:
+            materialize_superops = self.levels <= self.SUPEROP_MAX_LEVELS
+        if materialize_superops:
+            object.__setattr__(
+                self,
+                "D_drift",
+                jnp.asarray(np.asarray(iso_D(self.H_drift, list(Ls)))),
             )
+            if self.n_drives:
+                D_dr = np.stack(
+                    [np.asarray(iso_D(Hj, [])) for Hj in self.H_drives]
+                )
+            else:
+                n2 = 2 * self.levels**2
+                D_dr = np.zeros((0, n2, n2))
+            object.__setattr__(self, "D_drives", jnp.asarray(D_dr))
         else:
-            n2 = 2 * self.levels**2
-            D_dr = np.zeros((0, n2, n2))
-        object.__setattr__(self, "D_drives", jnp.asarray(D_dr))
+            object.__setattr__(self, "D_drift", None)
+            object.__setattr__(self, "D_drives", None)
 
     def tree_flatten(self):
         children = (self.G_drift, self.G_drives, self.D_drift, self.D_drives)
@@ -235,12 +250,67 @@ class OpenQuantumSystem(QuantumSystem):
 
     def lindblad_generator(self, a):
         """Real iso Lindblad superoperator D(a) = D_drift + sum_j a_j D_drives[j]."""
+        if self.D_drift is None:
+            raise ValueError(
+                f"dense superoperators were not materialized for this "
+                f"{self.levels}-level system (> SUPEROP_MAX_LEVELS="
+                f"{self.SUPEROP_MAX_LEVELS}); use the matrix-free "
+                f"lindblad_action + expv rollout path, or construct with "
+                f"materialize_superops=True"
+            )
         a = jnp.asarray(a)
         if self.n_drives == 0:
             return self.D_drift
         return self.D_drift + jnp.tensordot(
             a.astype(self.D_drives.dtype), self.D_drives, axes=1
         )
+
+    def lindblad_action(self, a, rho_iso_vec):
+        """Apply D(a) to an iso-vec density WITHOUT forming the
+        superoperator: O(k N^3) complex matmuls instead of an O(N^4)-entry
+        dense superoperator row — the matvec behind the Krylov expv rollout
+        on large cat/composite Hilbert spaces
+        (/root/reference/src/quantum_system_templates/cats.jl:9-53).
+
+        Traceable: the complex Hamiltonian/dissipators enter as captured
+        REAL constants (complex h2d transfers are unsupported on some TPU
+        runtimes; complex arithmetic inside jit is fine).
+        """
+        N = self.levels
+        Hr = jnp.asarray(np.ascontiguousarray(self.H_drift.real))
+        Hi = jnp.asarray(np.ascontiguousarray(self.H_drift.imag))
+        a = jnp.asarray(a)
+        dtype = rho_iso_vec.dtype
+        if self.n_drives:
+            HdR = jnp.asarray(np.ascontiguousarray(self.H_drives.real))
+            HdI = jnp.asarray(np.ascontiguousarray(self.H_drives.imag))
+            Hr = Hr + jnp.tensordot(a.astype(dtype), HdR.astype(dtype), axes=1)
+            Hi = Hi + jnp.tensordot(a.astype(dtype), HdI.astype(dtype), axes=1)
+        cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        H = (Hr + 1j * Hi).astype(cdtype)
+
+        # density iso-vec layout (isomorphisms.density_to_iso_vec):
+        # [Re(vec(rho)); Im(vec(rho))] with column-major vec
+        n2 = N * N
+        vec = (rho_iso_vec[:n2] + 1j * rho_iso_vec[n2:]).astype(cdtype)
+        rho = vec.reshape(N, N).T  # undo column-major vec
+
+        drho = -1j * (H @ rho - rho @ H)
+        if self.L_dissipators.shape[0]:
+            Lr = jnp.asarray(np.ascontiguousarray(self.L_dissipators.real))
+            Li = jnp.asarray(np.ascontiguousarray(self.L_dissipators.imag))
+            Ls = (Lr + 1j * Li).astype(cdtype)
+            Ldag = jnp.conj(jnp.swapaxes(Ls, -1, -2))
+            LdL = jnp.einsum("kij,kjl->il", Ldag, Ls)
+            drho = drho + jnp.einsum(
+                "kij,jl,kml->im", Ls, rho, jnp.conj(Ls)
+            )
+            drho = drho - 0.5 * (LdL @ rho + rho @ LdL)
+
+        vec_out = drho.T.reshape(-1)  # column-major vec
+        return jnp.concatenate(
+            [jnp.real(vec_out), jnp.imag(vec_out)]
+        ).astype(dtype)
 
 
 @dataclasses.dataclass(frozen=True)

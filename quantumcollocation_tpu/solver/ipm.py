@@ -182,6 +182,15 @@ class InteriorPointSolver:
         self.qn_lbfgs = (
             not self.exact_hessian and self.options.quasi_newton == "lbfgs"
         )
+        # resolve the rho*J^T J lift: "auto" = on iff the NLP carries stage
+        # inequality rows (the persistent-negative-curvature class:
+        # fidelity floors, L1 slacks, modulus disks); L-BFGS mode never
+        # needs it (sigma*I base Hessian is PD)
+        self.kkt_aug_on = (
+            (self.nlp.m > 0 if self.options.kkt_aug == "auto"
+             else bool(self.options.kkt_aug))
+            and not self.qn_lbfgs
+        )
         if self.qn_lbfgs and self.options.kkt_backend == "lanes_scan":
             raise ValueError(
                 "kkt_backend='lanes_scan' (the per-knot cross-validation "
@@ -601,7 +610,7 @@ class InteriorPointSolver:
         # a Gershgorin bound on the block-tridiagonal row sums |H_t| + |C_t|
         # + |C_{t-1}^T| — the indefinite part the lift must dominate.  The
         # PSD barrier terms added below are deliberately excluded.
-        if opts.kkt_aug and not self.qn_lbfgs:
+        if self.kkt_aug_on:
             rowsum = jnp.sum(jnp.abs(H), axis=-1)  # (T, d)
             rowsum = rowsum.at[:-1].add(jnp.sum(jnp.abs(C), axis=-1))
             rowsum = rowsum.at[1:].add(jnp.sum(jnp.abs(C), axis=-2))
@@ -852,7 +861,7 @@ class InteriorPointSolver:
 
         rnu_soc, theta_grew = jax.vmap(rhs)(state, aux, dz)
         rz_soc = aux.rz_kkt
-        if rho_used is not None and opts.kkt_aug:
+        if rho_used is not None and self.kkt_aug_on:
             # augmented-factor rhs transform: rz + rho * J^T rnu
             JT_r = jnp.zeros_like(rz_soc)
             JT_r = JT_r.at[:, :-1].add(
@@ -1338,7 +1347,7 @@ class InteriorPointSolver:
         # structure (J is block-bidiagonal, so J^T J is block-tridiagonal)
         # while making the stage-wise Cholesky PD condition track the true
         # reduced-Hessian inertia instead of demanding delta_w ~ ||H||.
-        aug_on = opts.kkt_aug and not self.qn_lbfgs
+        aug_on = self.kkt_aug_on
         if aug_on:
             # per-instance lift scale: must dominate the PRE-BARRIER
             # Lagrangian curvature (computed in _iteration_pre; the PSD

@@ -10,6 +10,7 @@ SURVEY.md §2b, uses at _problem_templates.jl:41-73).
 from __future__ import annotations
 
 import dataclasses
+from typing import Any
 
 __all__ = ["SolverOptions", "IpoptOptions", "PiccoloOptions"]
 
@@ -56,12 +57,19 @@ class SolverOptions:
     # the true reduced inertia, so delta_w ~ |lambda_min| suffices.  Engaged
     # only from the `kkt_aug_start`-th factorization retry (the plain fast
     # path is unchanged); rho = kkt_aug_rho_factor * max_t ||H_t||_inf per
-    # instance.  kkt_aug=False disables.  kkt_aug_start=1 engages the lift
-    # on EVERY regularized retry (k=0 stays plain): a plain attempt at the
-    # warm-started large delta would otherwise succeed first and mask the
-    # small-delta augmented direction (measured: min-time stayed at
-    # delta_w ~ 100-800 with kkt_aug_start=2 because plain k=1 succeeded).
-    kkt_aug: bool = True
+    # instance.  kkt_aug_start=1 engages the lift on EVERY regularized
+    # retry (k=0 stays plain): a plain attempt at the warm-started large
+    # delta would otherwise succeed first and mask the small-delta
+    # augmented direction (measured: min-time stayed at delta_w ~ 100-800
+    # with kkt_aug_start=2 because plain k=1 succeeded).
+    # Default "auto" = on iff the NLP carries stage inequality rows
+    # (min-time fidelity floors, L1 slacks, modulus disks) — the class
+    # where the persistent-negative-curvature crawl occurs.  Measured A/B
+    # (CPU f32, B=64, 44 iters): min_time success 0.906 -> 0.953 with the
+    # lift, while always-on cost the PLAIN hadamard path 80% wall and
+    # 0.98 -> 0.89 converged (f32 conditioning noise from rho) — hence not
+    # a blanket default.  True/False force.
+    kkt_aug: Any = "auto"
     kkt_aug_rho_factor: float = 2.0
     kkt_aug_start: int = 1
     # line search: "filter" (Wächter–Biegler filter acceptance: a trial is
@@ -149,8 +157,22 @@ class SolverOptions:
     }
 
     def __post_init__(self):
+        import os
+
         if isinstance(self.recalc_y, str):
             self.recalc_y = self.recalc_y.lower() in ("yes", "true", "on")
+        # experiment escape hatch: QCT_KKT_AUG=0 disables the rho*J^T J
+        # lift globally (A/B benchmarking without code changes)
+        if "QCT_KKT_AUG" in os.environ:
+            v = os.environ["QCT_KKT_AUG"]
+            self.kkt_aug = (
+                "auto" if v == "auto" else v not in ("0", "false")
+            )
+        if self.kkt_aug not in (True, False, "auto"):
+            raise ValueError(
+                f"SolverOptions.kkt_aug={self.kkt_aug!r} must be True, "
+                f"False, or 'auto'"
+            )
         for field, allowed in self._ENUMS.items():
             val = getattr(self, field)
             if val not in allowed:

@@ -40,17 +40,15 @@ def fidelity(prob_or_traj, system=None, **kwargs):
     raise ValueError("no unitary or ket state component found")
 
 
-def expv(t, A, b, *, order: int = 12, num_squarings: int = 8):
-    """exp(t*A) @ b — the ExponentialAction.jl `expv` analog.
-
-    Dense scaling-and-squaring (dimensions in this framework are small); the
-    signature matches the reference's rollout_integrator hook
+def expv(t, A, b, *, m: int = 24, substeps: int = 2, matvec=None):
+    """exp(t*A) @ b — the ExponentialAction.jl `expv` analog
     (/root/reference/src/trajectory_initialization.jl:398).
-    """
-    from ..dynamics.expm import expm_squaring
 
-    A = jnp.asarray(A)
-    b = jnp.asarray(b)
-    return expm_squaring(
-        A * t, order=order, num_squarings=num_squarings
-    ) @ b
+    Krylov (Arnoldi) action: never forms exp(t*A), so it scales to the
+    cat/composite Hilbert spaces where dense scaling-and-squaring is
+    prohibitive.  `A` may be a matrix or a matvec callable (pass
+    matvec=... for operators too large to materialize, e.g.
+    OpenQuantumSystem.lindblad_action)."""
+    from ..dynamics.expv import expv_krylov
+
+    return expv_krylov(t, A, b, m=m, substeps=substeps, matvec=matvec)
