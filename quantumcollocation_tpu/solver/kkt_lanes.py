@@ -77,11 +77,95 @@ class LanesFactors(NamedTuple):
 
 
 # --------------------------------------------------------------------------- #
-# lanes linear algebra (static unrolls; all arrays (..., L))
+# lanes linear algebra (all arrays (..., L))
+#
+# Two register families:
+#  - UNROLLED (suffix _u): every scalar entry is its own (L,)-vector op.
+#    Minimal FLOPs, but the traced-op count is O(n^2)-O(n^3) per call, which
+#    makes trace + Mosaic compile time cubic in the stage dimension
+#    (measured 10/40/160 s at d=15/28/47) — the round-3 lanes_max_dim=24
+#    ceiling.
+#  - VECTORIZED (suffix _v): inner loops become full-width broadcast
+#    multiply + axis-0 reductions over (n, r, L) buffers with zero padding
+#    ahead of the frontier, so each row/column costs O(1) traced ops —
+#    O(n) ops per primitive and compile time linear-ish in n.  Runtime
+#    FLOPs are up to 2x (full-width triangular work), traded for far fewer,
+#    wider VPU instructions.
+#
+# `_use_vec(n)` picks the family; the public names dispatch on it.
 # --------------------------------------------------------------------------- #
 
+_VEC_MIN_DIM = 20  # measured crossover guess; TPU A/B tunes this
 
-def _chol(M, n):
+
+def _use_vec(*dims):
+    import os
+
+    ov = os.environ.get("QCT_LANES_VEC")
+    if ov is not None:
+        return ov not in ("0", "false")
+    return max(dims) >= _VEC_MIN_DIM
+
+
+def _row_set(buf, i, row):
+    """buf with buf[i] <- row, as a masked select (Mosaic lowers no scatter;
+    .at[...].set on values emits one)."""
+    n = buf.shape[0]
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * (buf.ndim - 1), 0)
+        == i
+    )
+    return jnp.where(sel, row[None], buf)
+
+
+def _chol_v(M, n):
+    """Vectorized lanes Cholesky: O(n) traced ops per column (frontier with
+    a zero-padded factor buffer held COLUMN-major so updates are
+    leading-axis masked selects)."""
+    dtype = M.dtype
+    Lc = jnp.zeros_like(M)  # Lc[j] = column j of L (rows along axis 1)
+    rows_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    for j in range(n):
+        # s_i = sum_k L[i, k] L[j, k] = sum_k Lc[k, i] Lc[k, j];
+        # columns k >= j are still zero
+        s = jnp.sum(Lc * Lc[:, j][:, None, :], axis=0)  # (n, L)
+        c = M[:, j] - s
+        piv = jnp.sqrt(c[j])
+        col = c / piv[None]
+        col = jnp.where(rows_idx >= j, col, jnp.zeros((), dtype))
+        Lc = _row_set(Lc, j, col)
+    return jnp.swapaxes(Lc, 0, 1)
+
+
+def _fwd_sub_v(Lm, Bm, n):
+    """Solve Lm Y = Bm, vectorized: O(1) traced ops per row."""
+    Ybuf = jnp.zeros_like(Bm)
+    for i in range(n):
+        s = jnp.sum(Lm[i][:, None, :] * Ybuf, axis=0)  # (r, L)
+        Ybuf = _row_set(Ybuf, i, (Bm[i] - s) / Lm[i, i][None])
+    return Ybuf
+
+
+def _bwd_sub_v(Lm, Bm, n):
+    """Solve Lm^T Y = Bm, vectorized: O(1) traced ops per row."""
+    Ybuf = jnp.zeros_like(Bm)
+    for i in reversed(range(n)):
+        # sum_k L[k, i] Y[k]: rows <= i of Ybuf are still zero, and
+        # L[k, i] = 0 for k < i (lower-triangular), so full width is exact
+        s = jnp.sum(Lm[:, i][:, None, :] * Ybuf, axis=0)
+        Ybuf = _row_set(Ybuf, i, (Bm[i] - s) / Lm[i, i][None])
+    return Ybuf
+
+
+def _mm_v(Am, Bm):
+    """(m, k, L) @ (k, n, L) lanes matmul, one broadcast-reduce per row."""
+    rows = [
+        jnp.sum(Am[i][:, None, :] * Bm, axis=0) for i in range(Am.shape[0])
+    ]
+    return jnp.stack(rows, axis=0)
+
+
+def _chol_u(M, n):
     """Cholesky of (n, n, L) SPD matrices; returns lower-triangular (n, n, L).
 
     Scatter-free: columns are computed as vectors and the factor is assembled
@@ -110,7 +194,7 @@ def _chol(M, n):
     return jnp.stack(rows, axis=0)
 
 
-def _fwd_sub(Lm, Bm, n):
+def _fwd_sub_u(Lm, Bm, n):
     """Solve Lm Y = Bm with Lm (n,n,L) lower, Bm (n, r, L). Returns (n, r, L)."""
     rows = []
     for i in range(n):
@@ -121,7 +205,7 @@ def _fwd_sub(Lm, Bm, n):
     return jnp.stack(rows)
 
 
-def _bwd_sub(Lm, Bm, n):
+def _bwd_sub_u(Lm, Bm, n):
     """Solve Lm^T Y = Bm with Lm (n,n,L) lower, Bm (n, r, L)."""
     rows = [None] * n
     for i in reversed(range(n)):
@@ -132,11 +216,7 @@ def _bwd_sub(Lm, Bm, n):
     return jnp.stack(rows)
 
 
-def _chol_solve(Lm, Bm, n):
-    return _bwd_sub(Lm, _fwd_sub(Lm, Bm, n), n)
-
-
-def _mm(Am, Bm):
+def _mm_u(Am, Bm):
     """(m, k, L) @ (k, n, L) -> (m, n, L) lanes matmul.
 
     Static unroll into VPU multiply-adds: Mosaic's tpu.matmul requires batch
@@ -152,6 +232,30 @@ def _mm(Am, Bm):
             acc = acc + Am[i, kk][None] * Bm[kk]
         rows.append(acc)
     return jnp.stack(rows, axis=0)
+
+
+# ---- family dispatchers --------------------------------------------------- #
+
+
+def _chol(M, n):
+    return _chol_v(M, n) if _use_vec(n) else _chol_u(M, n)
+
+
+def _fwd_sub(Lm, Bm, n):
+    return _fwd_sub_v(Lm, Bm, n) if _use_vec(n) else _fwd_sub_u(Lm, Bm, n)
+
+
+def _bwd_sub(Lm, Bm, n):
+    return _bwd_sub_v(Lm, Bm, n) if _use_vec(n) else _bwd_sub_u(Lm, Bm, n)
+
+
+def _chol_solve(Lm, Bm, n):
+    return _bwd_sub(Lm, _fwd_sub(Lm, Bm, n), n)
+
+
+def _mm(Am, Bm):
+    k = Am.shape[1]
+    return _mm_v(Am, Bm) if _use_vec(Am.shape[0], k) else _mm_u(Am, Bm)
 
 
 def _mt(Am):
