@@ -214,31 +214,38 @@ def _magnus_cost(traj, H_error, unitary_name="Ũ⃗"):
 
 class TestUnitaryRobustness:
     def test_robustness_warm_start(self):
-        sys = _hadamard_system()
+        # GUARANTEED-non-robust warm start (no escape hatch): a constant
+        # X-drive pi-rotation on a drift-free system — its first-order
+        # Z-error Magnus integral int U^† Z U dt is provably nonzero (Z
+        # precesses in the (Z, Y) plane over a half turn; measured cost
+        # 0.2027).  The robust solve must then actually reduce it — the
+        # reference's decrease assertion without its already-small-start
+        # hatch (/root/reference/src/problem_templates/
+        # unitary_robustness_problem.jl:166-207).
+        T, dt = 51, 0.2
+        sys = qct.QuantumSystem(None, [qct.PAULIS["X"], qct.PAULIS["Y"]])
+        a_guess = np.zeros((T, 2))
+        a_guess[:, 0] = (np.pi / 2) / ((T - 1) * dt)
         prob = qct.UnitarySmoothPulseProblem(
-            sys, qct.GATES["H"], 51, 0.2,
+            sys, qct.GATES["X"], T, dt, a_guess=a_guess,
             ipopt_options=qct.SolverOptions(print_level=1, tol=1e-7),
             piccolo_options=QUIET,
         )
-        prob.solve(max_iter=60)
         fid0 = float(qct.unitary_rollout_fidelity(prob.trajectory, sys))
-        assert fid0 > 0.99, "warm start must be feasible for the 0.99 floor"
+        assert fid0 > 0.99, "constant-pulse start must hit the X gate"
         before = _magnus_cost(prob.trajectory, qct.PAULIS["Z"])
+        assert before > 0.1, "warm start must be measurably non-robust"
         rob = qct.UnitaryRobustnessProblem(
             qct.PAULIS["Z"], prob, sys, final_fidelity=0.99,
         )
         assert "m_rob" in rob.trajectory.names
-        rob.solve(max_iter=40)
+        rob.solve(max_iter=60)
         fid = float(
             qct.unitary_rollout_fidelity(rob.trajectory, sys)
         )
-        # the robustness cost (first-order error sensitivity) must DECREASE
-        # vs the warm start — the reference's assertion with its escape
-        # hatch for an already-small start (unitary_robustness_problem.jl:
-        # 171-177).  Measured at this config: ratio 0.9956, converged at 26
-        # iters (scripts/calibrate_robustness.py).
+        # strong decrease: measured ratio 0.152 (6.6x) at 60 iters
         after = _magnus_cost(rob.trajectory, qct.PAULIS["Z"])
-        assert after < before or before < 0.25
+        assert after < 0.5 * before, (before, after)
         assert fid > 0.99 - 1e-3  # fidelity floor maintained
 
 
