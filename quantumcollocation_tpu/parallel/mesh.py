@@ -102,15 +102,64 @@ def replicate(tree, mesh: Mesh):
     )
 
 
-def batched_solve(problem, Z0, *, mesh: Mesh | None = None, max_iter=None):
+def batched_solve(problem, Z0, *, mesh: Mesh | None = None, max_iter=None,
+                  axis_name: str = "batch"):
     """Solve a batch of initial decisions, sharded across a device mesh.
 
     problem: a QuantumControlProblem; Z0: (B, T, d_aug) with B divisible by
-    the mesh size.  The solve compiles once; XLA partitions every batched
-    operation across devices and inserts only scalar collectives (the
-    all-converged vote in the while_loop condition).
+    the mesh size.
+
+    Single-process: the solve compiles once under pjit; XLA partitions every
+    batched op and inserts only scalar collectives (the all-converged vote
+    + the factorization-retry vote).
+
+    Multi-process: the loop runs under shard_map with per-shard specs, so
+    each process advances ITS instances with ZERO cross-process collectives
+    during the solve (the IPM is element-wise over the batch; data-dependent
+    loop conditions — convergence vote, delta_w retry vote — become
+    per-shard instead of global).  Measured over localhost TCP those pred[]
+    all-reduces cost ~25-50 ms each per iteration, 1.4x total wall; on ICI
+    they would be ~us, but zero is better than either and the per-shard
+    retry semantics are also strictly cheaper (a hard instance on one host
+    no longer forces extra factorization attempts on every other host).
     """
     if mesh is None:
         mesh = make_mesh()
     Z0 = shard_batch(Z0, mesh)
-    return problem.solver.solve(Z0, max_iter=max_iter)
+    solver = problem.solver
+    if jax.process_count() == 1:
+        return solver.solve(Z0, max_iter=max_iter)
+
+    import jax.numpy as jnp
+
+    from ..solver.ipm import IPMResult
+
+    max_iter = max_iter or solver.options.max_iter
+    # batch-sharded out_shardings on the init: leaves created inside
+    # (zeros, filters) would otherwise come out replicated, and a post-hoc
+    # device_put reshard of replicated multi-process arrays trips XLA's
+    # device-order reshard assertion
+    state = jax.jit(
+        solver.init_state,
+        out_shardings=NamedSharding(mesh, P(axis_name)),
+    )(Z0)
+    spec = P(axis_name)
+    run = jax.jit(jax.shard_map(
+        lambda st: solver._solve_loop_impl(st, max_iter, False),
+        mesh=mesh,
+        in_specs=spec,
+        out_specs=spec,
+        check_vma=False,
+    ))
+    state = run(state)
+    obj = solver._batched_cost(state.Z)
+    Z_out = (
+        state.Z * jnp.asarray(solver.var_scale, state.Z.dtype)
+        if solver.options.nlp_scaling
+        else state.Z
+    )
+    return IPMResult(
+        Z=Z_out, lam=state.lam, converged=state.converged,
+        n_iter=state.n_iter, kkt_err=state.kkt_err, mu=state.mu,
+        objective=obj,
+    )

@@ -1685,14 +1685,19 @@ class InteriorPointSolver:
                     break
         elif segment_iters:
             done = 0
+            early = jax.process_count() == 1
             while done < max_iter:
                 n = min(int(segment_iters), max_iter - done)
-                state = self._solve_loop(state, n)
+                state = self._solve_loop(state, n, early)
                 done += n
                 if bool(jnp.all(state.converged)):
                     break
         else:
-            state = self._solve_loop(state, max_iter)
+            # multi-process meshes drop the per-iteration all-converged
+            # vote (see _solve_loop early_exit)
+            state = self._solve_loop(
+                state, max_iter, jax.process_count() == 1
+            )
 
         obj = self._batched_cost(state.Z)
         Z_out = (
@@ -1743,14 +1748,39 @@ class InteriorPointSolver:
             f"{st['alpha_pr']:>9.2e} {st['ls_trials']:>3}"
         )
 
-    @partial(jax.jit, static_argnums=(0, 2), donate_argnums=(1,))
-    def _solve_loop(self, state: IPMState, max_iter: int) -> IPMState:
+    def _solve_loop_impl(
+        self, state: IPMState, max_iter: int, early_exit: bool = True
+    ) -> IPMState:
+        """Undecorated loop body — called directly inside shard_map by the
+        multi-process path (parallel.batched_solve), where the per-shard
+        trace must not re-enter jit."""
+        return self._solve_loop_body(state, max_iter, early_exit)
+
+    @partial(jax.jit, static_argnums=(0, 2, 3), donate_argnums=(1,))
+    def _solve_loop(
+        self, state: IPMState, max_iter: int, early_exit: bool = True
+    ) -> IPMState:
+        return self._solve_loop_body(state, max_iter, early_exit)
+
+    def _solve_loop_body(
+        self, state: IPMState, max_iter: int, early_exit: bool = True
+    ) -> IPMState:
         # donate_argnums: the initial state's buffers are reused for the
         # while_loop carry (no extra copy; ignored when traced inside an
         # outer jit such as bench.py's solve wrapper)
+        #
+        # early_exit=False drops the all-converged vote from the loop
+        # condition: on a MULTI-PROCESS mesh that vote is a cross-process
+        # pred[] all-reduce EVERY iteration (measured 53 ms/iter of pure
+        # collective latency over localhost TCP — 1.4x total wall), while
+        # converged instances are frozen by the per-instance `upd` masking
+        # regardless, so a fixed-trip loop computes the identical result
+        # with ZERO cross-process traffic during the solve.
         def cond(carry):
             k, st = carry
-            return (k < max_iter) & (~jnp.all(st.converged))
+            if early_exit:
+                return (k < max_iter) & (~jnp.all(st.converged))
+            return k < max_iter
 
         def body(carry):
             k, st = carry
