@@ -395,7 +395,10 @@ def bench_transmon_leakage(qct, args, dtype):
         )
         return Z0
 
-    iters = args.iters_2q
+    # 120 iters: with the kkt_aug lift the >1e-4 tail is pure slow
+    # convergence — measured 0.875 @ 80 iters -> 1.000 @ 120 (CPU-f32 B=64
+    # proxy); without the lift 80 iters gave 0.50
+    iters = args.iters_leakage
     state, wall, compile_s = _timed(
         prob.solver, seeds, iters, args.repeats, dtype, seg=10
     )
@@ -555,6 +558,7 @@ def _run_config_subprocess(name, args, timeout_s=1500):
         sys.executable, __file__, "--child", "--configs", name,
         "--batch", str(args.batch), "--iters", str(args.iters),
         "--iters-2q", str(args.iters_2q), "--repeats", str(args.repeats),
+        "--iters-leakage", str(args.iters_leakage),
         "--precision", args.precision, "--kappa-mu", str(args.kappa_mu),
         "--line-search", args.line_search, "--mu-strategy", args.mu_strategy,
         "--su4-goals", str(args.su4_goals), "--su4-seeds", str(args.su4_seeds),
@@ -594,6 +598,11 @@ def main():
     # 48 -> 1.00 at 535
     parser.add_argument("--iters", type=int, default=44)
     parser.add_argument("--iters-2q", dest="iters_2q", type=int, default=80)
+    parser.add_argument(
+        "--iters-leakage", dest="iters_leakage", type=int, default=120,
+        help="leakage-config IPM iterations (slow-converger tail reaches "
+        "the 1e-4 bar by ~120; docs in bench_transmon_leakage)",
+    )
     parser.add_argument("--kappa-mu", dest="kappa_mu", type=float, default=0.1)
     parser.add_argument("--smoke", action="store_true")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -633,6 +642,7 @@ def main():
     if args.smoke:
         args.batch, args.iters, args.repeats = 8, 30, 1
         args.iters_2q = 30
+        args.iters_leakage = 30
         args.su4_goals, args.su4_seeds, args.su4_waves = 2, 2, 1
         if args.configs == "all":
             args.configs = "hadamard"

@@ -1363,23 +1363,35 @@ class InteriorPointSolver:
             rho_base = jnp.zeros((Bt,), dtype)
             S_AA = S_AB = None
 
+        def _jt_lift(rho, rz_v, rnu_v):
+            """Augmented-system rhs transform rz + rho * J^T rnu."""
+            JT_v = jnp.zeros_like(rz_v)
+            JT_v = JT_v.at[:, :-1].add(
+                jnp.einsum("btsd,bts->btd", A, rnu_v)
+            )
+            JT_v = JT_v.at[:, 1:].add(
+                jnp.einsum("btsd,bts->btd", Bj, rnu_v)
+            )
+            return rz_v + rho[:, None, None] * JT_v
+
         def attempt(dw, rho, rz_v, rnu_v):
+            """One factorization attempt; with the lift active, ONE
+            factor-reusing iterative-refinement pass against the ORIGINAL
+            (delta_c-regularized) system corrects the rho-conditioning
+            noise (measured to floor the dual residual at ~0.4 without
+            it)."""
             Hreg = H + dw[:, None, None, None] * eye_d
             if aug_on:
                 re = rho[:, None, None, None]
                 Hreg = Hreg + re * S_AA
                 C_in = C + re * S_AB
-                JT_v = jnp.zeros_like(rz_v)
-                JT_v = JT_v.at[:, :-1].add(
-                    jnp.einsum("btsd,bts->btd", A, rnu_v)
-                )
-                JT_v = JT_v.at[:, 1:].add(
-                    jnp.einsum("btsd,bts->btd", Bj, rnu_v)
-                )
-                rz_in = rz_v + rho[:, None, None] * JT_v
+                rz_in = _jt_lift(rho, rz_v, rnu_v)
             else:
                 C_in, rz_in = C, rz_v
             rnu = rnu_v
+
+            resolve = None  # rhs-only re-solve against the SAME factors
+            fac_carry = ()
             if cr:  # block cyclic reduction: parallel-in-T latency path
                 if self.qn_lbfgs:
                     dz, nu, ok = jax.vmap(_cr_smw)(
@@ -1391,45 +1403,100 @@ class InteriorPointSolver:
                             h, c, a, b, z, n, opts.delta_c
                         )
                     )(Hreg, C_in, A, Bj, rz_in, rnu)
-                return dz, nu, ok, ()
-            if lanes and not fused_lanes:  # lanes_scan cross-validation path
+
+                    def resolve(rz2, rnu2):
+                        return jax.vmap(
+                            lambda h, c, a, b, z, n: solve_kkt_cr(
+                                h, c, a, b, z, n, opts.delta_c
+                            )
+                        )(Hreg, C_in, A, Bj, rz2, rnu2)
+
+            elif lanes and not fused_lanes:  # lanes_scan cross-validation
                 dz, nu, ok = solve_kkt_lanes_scan(
                     Hreg, C_in, A, Bj, rz_in, rnu, opts.delta_c,
                     interpret=interp,
                 )
-                return dz, nu, ok, ()
-            if fused_lanes:
+
+                def resolve(rz2, rnu2):
+                    return solve_kkt_lanes_scan(
+                        Hreg, C_in, A, Bj, rz2, rnu2, opts.delta_c,
+                        interpret=interp,
+                    )
+
+            elif fused_lanes:
                 if self.qn_lbfgs:
                     dz, nu, ok = _lanes_lbfgs_solve(Hreg)
-                    return dz, nu, ok, ()
-                if keep_fac:
+                elif keep_fac or aug_on:
                     dz, nu, ok, facl = solve_kkt_lanes(
                         Hreg, C_in, A, Bj, rz_in, rnu, opts.delta_c,
                         interpret=interp, want_factors=True,
                     )
-                    # constraint blocks are dw-independent; carry only the
-                    # dw-dependent factors
-                    return dz, nu, ok, (
-                        facl.LP, facl.LS, facl.XA, facl.G, facl.LPf
+                    if keep_fac:
+                        # constraint blocks are dw-independent; carry only
+                        # the dw-dependent factors
+                        fac_carry = (
+                            facl.LP, facl.LS, facl.XA, facl.G, facl.LPf
+                        )
+
+                    def resolve(rz2, rnu2):
+                        return resolve_kkt_lanes(
+                            facl, rz2, rnu2, interpret=interp
+                        )
+
+                else:
+                    dz, nu, ok = solve_kkt_lanes(
+                        Hreg, C_in, A, Bj, rz_in, rnu, opts.delta_c,
+                        interpret=interp,
                     )
-                dz, nu, ok = solve_kkt_lanes(
-                    Hreg, C_in, A, Bj, rz_in, rnu, opts.delta_c,
-                    interpret=interp,
-                )
-                return dz, nu, ok, ()
-            fac = jax.vmap(
-                lambda h, c, a, b: factor_kkt(h, c, a, b, opts.delta_c)
-            )(Hreg, C_in, A, Bj)
-            if self.qn_lbfgs:
-                dz, nu, ok = jax.vmap(_smw_solve)(fac, rz_in, rnu, U_lr, M_lr)
             else:
-                dz, nu, ok = jax.vmap(solve_with_factors)(fac, rz_in, rnu)
-            # constraint blocks are dw-independent; carry only the factors
-            fac_carry = (
-                (fac.L_P, fac.L_S, fac.X_A, fac.G, fac.L_final)
-                if keep_fac
-                else ()
-            )
+                fac = jax.vmap(
+                    lambda h, c, a, b: factor_kkt(h, c, a, b, opts.delta_c)
+                )(Hreg, C_in, A, Bj)
+                if self.qn_lbfgs:
+                    dz, nu, ok = jax.vmap(_smw_solve)(
+                        fac, rz_in, rnu, U_lr, M_lr
+                    )
+                else:
+                    dz, nu, ok = jax.vmap(solve_with_factors)(fac, rz_in, rnu)
+
+                    def resolve(rz2, rnu2):
+                        return jax.vmap(solve_with_factors)(fac, rz2, rnu2)
+
+                if keep_fac:
+                    fac_carry = (
+                        fac.L_P, fac.L_S, fac.X_A, fac.G, fac.L_final
+                    )
+
+            if aug_on and resolve is not None:
+                # refinement: residual of the ORIGINAL system at (dz, nu),
+                # corrected through the augmented factors (triangular work
+                # only on the xla/lanes paths — no refactorization)
+                Hdz = (
+                    jnp.einsum("btij,btj->bti", H, dz)
+                    + dw[:, None, None] * dz
+                )
+                Hdz = Hdz.at[:, :-1].add(
+                    jnp.einsum("btij,btj->bti", C, dz[:, 1:])
+                )
+                Hdz = Hdz.at[:, 1:].add(
+                    jnp.einsum("btji,btj->bti", C, dz[:, :-1])
+                )
+                JTnu = jnp.zeros_like(dz)
+                JTnu = JTnu.at[:, :-1].add(
+                    jnp.einsum("btsd,bts->btd", A, nu)
+                )
+                JTnu = JTnu.at[:, 1:].add(
+                    jnp.einsum("btsd,bts->btd", Bj, nu)
+                )
+                r1 = Hdz + JTnu - rz_v
+                Jdz = jnp.einsum(
+                    "btsd,btd->bts", A, dz[:, :-1]
+                ) + jnp.einsum("btsd,btd->bts", Bj, dz[:, 1:])
+                r2 = Jdz - opts.delta_c * nu - rnu_v
+                ez, enu, okr = resolve(_jt_lift(rho, -r1, -r2), -r2)
+                dz = dz + jnp.where(okr[:, None, None], ez, 0.0)
+                nu = nu + jnp.where(okr[:, None, None], enu, 0.0)
+
             return dz, nu, ok, fac_carry
 
         def cond_fn(carry):
@@ -1451,58 +1518,19 @@ class InteriorPointSolver:
                     jnp.minimum(dw_try * 8.0, opts.delta_w_max),
                 ),
             )
-            # engage the rho*J^T J lift from the kkt_aug_start-th retry: the
-            # plain attempts (k=0 no reg, k=1 warm-started delta) keep the
-            # fast path bit-identical for well-conditioned instances
+            # engage the rho*J^T J lift from the kkt_aug_start-th retry:
+            # the k=0 plain dw=0 attempt keeps the fast path bit-identical
+            # for well-conditioned instances AND preserves the
+            # quadratic-convergence endgame (an aug+dw=0 "memory" shortcut
+            # for hard instances was measured to degrade the leakage tail
+            # 0.906 -> 0.781: near-semidefinite augmented dw=0 steps are
+            # poor)
             rho_next = (
                 jnp.where(k >= opts.kkt_aug_start, rho_base, 0.0)
                 if aug_on
                 else rho_base  # zeros when the lift is off
             )
             dz2, nu2, ok2, facc2 = attempt(dw_next, rho_next, rz, rnu)
-
-            if aug_on:
-                # one iterative-refinement pass against the ORIGINAL
-                # (delta_c-regularized) saddle system: the rho lift raises
-                # the condition number by ~rho, which was measured to floor
-                # the dual residual at ~0.4 (the refined correction solve
-                # reuses the same augmented operator, so the refined pair
-                # is accurate in the ORIGINAL system's metric)
-                def _refine(args):
-                    dzv, nuv = args
-                    Hdz = (
-                        jnp.einsum("btij,btj->bti", H, dzv)
-                        + dw_next[:, None, None] * dzv
-                    )
-                    Hdz = Hdz.at[:, :-1].add(
-                        jnp.einsum("btij,btj->bti", C, dzv[:, 1:])
-                    )
-                    Hdz = Hdz.at[:, 1:].add(
-                        jnp.einsum("btji,btj->bti", C, dzv[:, :-1])
-                    )
-                    JTnu = jnp.zeros_like(dzv)
-                    JTnu = JTnu.at[:, :-1].add(
-                        jnp.einsum("btsd,bts->btd", A, nuv)
-                    )
-                    JTnu = JTnu.at[:, 1:].add(
-                        jnp.einsum("btsd,bts->btd", Bj, nuv)
-                    )
-                    r1 = Hdz + JTnu - rz
-                    Jdz = jnp.einsum(
-                        "btsd,btd->bts", A, dzv[:, :-1]
-                    ) + jnp.einsum("btsd,btd->bts", Bj, dzv[:, 1:])
-                    r2 = Jdz - opts.delta_c * nuv - rnu
-                    ez, enu, okr, _ = attempt(dw_next, rho_next, -r1, -r2)
-                    ez = jnp.where(okr[:, None, None], ez, 0.0)
-                    enu = jnp.where(okr[:, None, None], enu, 0.0)
-                    return dzv + ez, nuv + enu
-
-                dz2, nu2 = jax.lax.cond(
-                    k >= opts.kkt_aug_start,
-                    _refine,
-                    lambda args: args,
-                    (dz2, nu2),
-                )
             # keep already-successful instances' results
             dz = jnp.where(ok[:, None, None], dz, dz2)
             nu = jnp.where(ok[:, None, None], nu, nu2)
