@@ -51,6 +51,19 @@ __all__ = [
 _L = 128  # lane tile
 
 
+def _compiler_params(*dims):
+    """Raise the scoped-VMEM allowance for large stage dimensions: the
+    default 16 MB cap rejects d~47 per-knot block sets (measured 21-32 MB
+    with double-buffered DMA), while the chip's physical VMEM is larger.
+    None (defaults) for small dims — identical behavior to round 3."""
+    if max(dims) < 24:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+
+
+
 def to_lanes_layout(x):
     """Pad the leading batch axis to a multiple of 128 and move it LAST
     (the lanes layout used by LanesFactors and the fused kernels)."""
@@ -352,6 +365,7 @@ def _make_fwd_step(d, s, delta_c, interpret):
                 _spec(s, s, _L), _spec(d, s, _L), _spec(d, 1, _L),
             ],
             out_shape=out_shape,
+            compiler_params=_compiler_params(d, s),
             interpret=interpret,
         )(P, q, Hn, C, A, B, rzn, rnu)
 
@@ -378,6 +392,7 @@ def _make_bwd_step(d, s, interpret):
             ],
             out_specs=[_spec(d, 1, _L), _spec(s, 1, _L)],
             out_shape=out_shape,
+            compiler_params=_compiler_params(d, s),
             interpret=interpret,
         )(dz_next, LP, LS, XA, q, C, A, B, rnu)
 
@@ -594,6 +609,7 @@ def _bwd_sweep(LPs, LSs, XAs, qs, Cl, Al, Bl, rnul, dz_last, *, interpret):
             jax.ShapeDtypeStruct((Tm1, s, r, Bp), dtype),
         ],
         scratch_shapes=[pltpu.VMEM((d, r, _L), dtype)],
+        compiler_params=_compiler_params(d, s),
         interpret=interpret,
     )(LPs, LSs, XAs, qs, Cl, Al, Bl, rnul, dz_last)
 
@@ -679,6 +695,7 @@ def solve_kkt_lanes(
             pltpu.VMEM((d, d, _L), dtype),
             pltpu.VMEM((d, r, _L), dtype),
         ],
+        compiler_params=_compiler_params(d, s),
         interpret=interpret,
     )(Hl[:Tm1], Cl, Al, Bl, rzl[:Tm1], rnul)
     if want_factors:
@@ -744,6 +761,7 @@ def resolve_kkt_lanes(fac: LanesFactors, rz, rnu, *, interpret: bool = False):
             jax.ShapeDtypeStruct((d, r, Bp), dtype),
         ],
         scratch_shapes=[pltpu.VMEM((d, r, _L), dtype)],
+        compiler_params=_compiler_params(d, s),
         interpret=interpret,
     )(LPs, LSs, Gs, Cl, Al, rzl[:Tm1], rnul)
 

@@ -96,8 +96,8 @@ def main():
     def kkt_loop(ki, dw):
         def body(i, rz):
             with jax.default_matmul_precision("highest"):
-                dz, dlam, ok, dw_used, dw_new, fac = solver._solve_kkt_batched(
-                    ki._replace(rz=rz), dw
+                (dz, dlam, ok, dw_used, dw_new, fac, rho_used) = (
+                    solver._solve_kkt_batched(ki._replace(rz=rz), dw)
                 )
             return rz + 1e-9 * dz
         return jax.lax.fori_loop(0, N, body, ki.rz)
