@@ -266,7 +266,14 @@ def bench_min_time(qct, args, dtype):
         # holding fid >= 0.9999)
         mt = qct.UnitaryMinimumTimeProblem(
             traj2, sys_q, warm.get_objective(), warm.integrators, [],
-            final_fidelity=0.9999, D=1000.0,
+            # floor ABOVE the 0.9999 success bar: since the kkt_aug lift
+            # (round 4) the solver drives fidelity EXACTLY onto the floor
+            # (real min-time optimization: median duration now drops ~24%
+            # instead of 1.5%), so a floor AT the bar leaves half the seeds
+            # a hair below it in f64 host validation (measured median_fid
+            # 0.99990, success_frac 0.48); 5e-5 of margin clears the f32
+            # noise band
+            final_fidelity=0.99995, D=1000.0,
             ipopt_options=_solver_options(qct, args, tol=1e-6),
         )
         z0 = np.asarray(mt.initial_decision(1))[0]

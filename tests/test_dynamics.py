@@ -218,7 +218,12 @@ def test_expv_rollout_matches_expm():
     r_expv = np.asarray(unitary_rollout(v0, a, dts, sys_q, integrator="expv"))
     np.testing.assert_allclose(r_expv, r_expm, atol=1e-9)
 
+    # round 4: "krylov" is a real integrator (Arnoldi action, dynamics/
+    # expv.py) — it must match too; unknown names still raise
+    r_kry = np.asarray(unitary_rollout(v0, a, dts, sys_q, integrator="krylov"))
+    np.testing.assert_allclose(r_kry, r_expm, atol=1e-6)
+
     import pytest
 
     with pytest.raises(ValueError, match="rollout integrator"):
-        unitary_rollout(v0, a, dts, sys_q, integrator="krylov")
+        unitary_rollout(v0, a, dts, sys_q, integrator="nonsense")
