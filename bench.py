@@ -153,6 +153,7 @@ def _solver_options(qct, args, **over):
         kappa_mu=args.kappa_mu,
         line_search=args.line_search,
         mu_strategy=args.mu_strategy,
+        lanes_vec_max_dim=args.lanes_vec_max_dim,
     )
     kw.update(over)
     return qct.SolverOptions(**kw)
@@ -571,6 +572,8 @@ def _run_config_subprocess(name, args, timeout_s=1500):
         "--su4-goals", str(args.su4_goals), "--su4-seeds", str(args.su4_seeds),
         "--su4-waves", str(args.su4_waves),
     ]
+    if args.lanes_vec_max_dim is not None:
+        cmd += ["--lanes-vec-max-dim", str(args.lanes_vec_max_dim)]
     if args.eval_precision:
         cmd += ["--eval-precision", args.eval_precision]
     if args.kkt_backend:
@@ -611,6 +614,12 @@ def main():
         "the 1e-4 bar by ~120; docs in bench_transmon_leakage)",
     )
     parser.add_argument("--kappa-mu", dest="kappa_mu", type=float, default=0.1)
+    parser.add_argument(
+        "--lanes-vec-max-dim", dest="lanes_vec_max_dim", type=int,
+        default=None,
+        help="opt the 2-qubit configs (d=47) onto the vectorized lanes "
+        "Pallas path (e.g. 64); default None keeps the xla fallback",
+    )
     parser.add_argument("--smoke", action="store_true")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("--repeats", type=int, default=3)

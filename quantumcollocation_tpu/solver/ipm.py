@@ -162,9 +162,16 @@ class InteriorPointSolver:
     exact_hessian: bool = True
 
     def __post_init__(self):
+        vec_max = (
+            self.options.lanes_vec_max_dim
+            if self.options.lanes_vec_max_dim is not None
+            else self.options.lanes_max_dim
+        )
         if (
             self.options.kkt_backend in ("lanes", "lanes_scan")
-            and max(self.nlp.d, self.nlp.s) > self.options.lanes_max_dim
+            and max(self.nlp.d, self.nlp.s) > max(
+                self.options.lanes_max_dim, vec_max
+            )
         ):
             # the lanes kernels' statically-unrolled linear algebra makes
             # trace + Mosaic compile time cubic in the stage dimension

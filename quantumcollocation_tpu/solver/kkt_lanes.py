@@ -108,7 +108,13 @@ class LanesFactors(NamedTuple):
 # `_use_vec(n)` picks the family; the public names dispatch on it.
 # --------------------------------------------------------------------------- #
 
-_VEC_MIN_DIM = 20  # measured crossover guess; TPU A/B tunes this
+# Real-TPU A/B (artifacts/tpu_lanes_vec_r04.json, B=512/T=51/d=15):
+# unrolled 0.1-0.3 ms/solve vs vectorized 25 ms — the frontier-buffer
+# full-width work is a ~100x RUNTIME loss at small d, so the vectorized
+# family is strictly a large-d play: it exists because the unrolled
+# family cannot compile at d=47 inside any reasonable budget (>10 min
+# Mosaic), while vectorized compiles in 41 s and solves B=128 in 28 ms.
+_VEC_MIN_DIM = 25  # d <= 24 (lanes_max_dim): always unrolled
 
 
 def _use_vec(*dims):

@@ -137,14 +137,18 @@ class SolverOptions:
     # instead of O(T) — the latency backend for single/small-batch solves;
     # soc is inert on "cr", which keeps no reusable factors)
     kkt_backend: str = "xla"
-    # largest stage dimension the lanes backends accept: their linear
-    # algebra is statically unrolled (O(d^3) traced ops per kernel), so
-    # trace+Mosaic compile time explodes with d (measured trace+lower of one
-    # solve: d=15 10s, d=28 40s, d=47 160s — and the IPM instantiates the
-    # kernel 2-3x).  Problems with max(d, s) above this threshold silently
-    # would not finish compiling; the solver falls back to "xla" with a
-    # one-time note instead.
+    # largest stage dimension the lanes backends accept with the UNROLLED
+    # primitive family (O(d^3) traced ops; compile explodes beyond ~24).
+    # Above it, up to lanes_vec_max_dim, the VECTORIZED family is used
+    # (O(d) traced ops: d=47 compiles in 41 s and solves B=128/T=51 in
+    # 28 ms on v5e — real-TPU validated, artifacts/tpu_lanes_vec_r04.json,
+    # with the raised scoped-VMEM allowance); beyond that the solver falls
+    # back to "xla" with a one-time note.  lanes_vec_max_dim defaults to
+    # lanes_max_dim (CONSERVATIVE: the full IPM step on the vec family is
+    # not yet bench-validated end-to-end; raise to ~64 to opt 2-qubit
+    # configs onto the Pallas path).
     lanes_max_dim: int = 24
+    lanes_vec_max_dim: int | None = None
 
     _ENUMS = {
         "mu_strategy": ("monotone", "adaptive"),
