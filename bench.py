@@ -153,8 +153,9 @@ def _solver_options(qct, args, **over):
         kappa_mu=args.kappa_mu,
         line_search=args.line_search,
         mu_strategy=args.mu_strategy,
-        lanes_vec_max_dim=args.lanes_vec_max_dim,
     )
+    if args.lanes_vec_max_dim is not None:
+        kw["lanes_vec_max_dim"] = args.lanes_vec_max_dim
     kw.update(over)
     return qct.SolverOptions(**kw)
 
@@ -617,8 +618,9 @@ def main():
     parser.add_argument(
         "--lanes-vec-max-dim", dest="lanes_vec_max_dim", type=int,
         default=None,
-        help="opt the 2-qubit configs (d=47) onto the vectorized lanes "
-        "Pallas path (e.g. 64); default None keeps the xla fallback",
+        help="override SolverOptions.lanes_vec_max_dim (default 64: the "
+        "2-qubit configs run on the vectorized lanes Pallas path; pass 24 "
+        "to force the xla fallback)",
     )
     parser.add_argument("--smoke", action="store_true")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")

@@ -370,11 +370,11 @@ class TestOptionsAndStrategies:
         assert state.Z.dtype == jnp.float32
 
     def test_lanes_falls_back_to_xla_above_max_dim(self):
-        # the lanes kernels' unrolled linear algebra makes compile time
-        # cubic in the stage dimension; above lanes_max_dim the solver must
-        # silently-but-audibly reroute to the XLA scan backend (this is what
-        # makes 2-qubit problems (d~47) finish compiling on TPU at all)
-        d = 30
+        # round 4: 24 < max(d, s) <= lanes_vec_max_dim (64) now stays on
+        # lanes with the VECTORIZED primitive family (real-TPU validated at
+        # d=47); only above that does the solver reroute to the XLA scan
+        # backend
+        d = 70
         T = 6
 
         def stage_cost(z, t):
