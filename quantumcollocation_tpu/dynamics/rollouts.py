@@ -176,6 +176,19 @@ def open_rollout(
     a = jnp.asarray(controls)[:-1]
     dt = jnp.asarray(dts)[:-1]
     if integrator == "expv" or system.D_drift is None:
+        if integrator != "expv":
+            # an explicit dense-integrator request cannot be honored on a
+            # system above SUPEROP_MAX_LEVELS: warn instead of silently
+            # substituting a method with different accuracy knobs (ADVICE r4)
+            import warnings
+
+            warnings.warn(
+                "open_rollout: superoperators are unmaterialized for this "
+                f"system (levels > SUPEROP_MAX_LEVELS); integrator="
+                f"{integrator!r} is rerouted to the Krylov matvec path "
+                "(accuracy set by krylov_dim/substeps, not order)",
+                stacklevel=2,
+            )
         with jax.default_matmul_precision("highest"):
 
             def step(rho, inp):

@@ -844,7 +844,12 @@ class InteriorPointSolver:
 
         rho_used/A_blk/B_blk: when the accepted factorization carried the
         rho*J^T J lift (kkt_aug), the re-solve rhs needs the matching
-        rz + rho*J^T rnu transform."""
+        rz + rho*J^T rnu transform.  With delta_c > 0 the lift is not an
+        exact transform, so (unlike attempt(), which follows with one
+        iterative-refinement pass) the SOC direction carries an
+        O(rho*delta_c) error on the J^T nu term — accepted: the SOC trial
+        is guarded by line-search acceptance, so an imperfect correction
+        can only be rejected, never propagate."""
         opts = self.options
         f = self.funcs
         m = self.nlp.m
@@ -882,6 +887,7 @@ class InteriorPointSolver:
             dz_c, nu_c, ok_c = resolve_kkt_lanes(
                 fac, rz_soc, rnu_soc,
                 interpret=jax.default_backend() != "tpu",
+                vec_min_dim=opts.lanes_max_dim + 1,
             )
         else:
             dz_c, nu_c, ok_c = jax.vmap(solve_with_factors)(
@@ -1309,7 +1315,8 @@ class InteriorPointSolver:
                 axis=-1,
             )
             DZ, NU, okm = solve_kkt_lanes(
-                Hreg, C, A, Bj, RZ, RNU, opts.delta_c, interpret=interp
+                Hreg, C, A, Bj, RZ, RNU, opts.delta_c, interpret=interp,
+                vec_min_dim=opts.lanes_max_dim + 1,
             )
             dz0, Wz = DZ[..., 0], DZ[..., 1:]
             nu0, Wnu = NU[..., 0], NU[..., 1:]
@@ -1421,13 +1428,14 @@ class InteriorPointSolver:
             elif lanes and not fused_lanes:  # lanes_scan cross-validation
                 dz, nu, ok = solve_kkt_lanes_scan(
                     Hreg, C_in, A, Bj, rz_in, rnu, opts.delta_c,
-                    interpret=interp,
+                    interpret=interp, vec_min_dim=opts.lanes_max_dim + 1,
                 )
 
                 def resolve(rz2, rnu2):
                     return solve_kkt_lanes_scan(
                         Hreg, C_in, A, Bj, rz2, rnu2, opts.delta_c,
                         interpret=interp,
+                        vec_min_dim=opts.lanes_max_dim + 1,
                     )
 
             elif fused_lanes:
@@ -1437,6 +1445,7 @@ class InteriorPointSolver:
                     dz, nu, ok, facl = solve_kkt_lanes(
                         Hreg, C_in, A, Bj, rz_in, rnu, opts.delta_c,
                         interpret=interp, want_factors=True,
+                        vec_min_dim=opts.lanes_max_dim + 1,
                     )
                     if keep_fac:
                         # constraint blocks are dw-independent; carry only
@@ -1447,13 +1456,15 @@ class InteriorPointSolver:
 
                     def resolve(rz2, rnu2):
                         return resolve_kkt_lanes(
-                            facl, rz2, rnu2, interpret=interp
+                            facl, rz2, rnu2, interpret=interp,
+                            vec_min_dim=opts.lanes_max_dim + 1,
                         )
 
                 else:
                     dz, nu, ok = solve_kkt_lanes(
                         Hreg, C_in, A, Bj, rz_in, rnu, opts.delta_c,
                         interpret=interp,
+                        vec_min_dim=opts.lanes_max_dim + 1,
                     )
             else:
                 fac = jax.vmap(

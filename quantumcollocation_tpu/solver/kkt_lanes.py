@@ -32,6 +32,7 @@ mode against the XLA path and dense solves.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Any, NamedTuple
 
@@ -114,7 +115,23 @@ class LanesFactors(NamedTuple):
 # family is strictly a large-d play: it exists because the unrolled
 # family cannot compile at d=47 inside any reasonable budget (>10 min
 # Mosaic), while vectorized compiles in 41 s and solves B=128 in 28 ms.
-_VEC_MIN_DIM = 25  # d <= 24 (lanes_max_dim): always unrolled
+_VEC_MIN_DIM = 25  # default: d <= 24 (SolverOptions.lanes_max_dim default)
+
+# trace-time override set by the public entry points' `vec_min_dim` kwarg
+# (threaded from SolverOptions.lanes_max_dim by the solver, so family
+# selection follows the CONFIGURED unrolled/vectorized cutover instead of
+# this module's hard-coded default — ADVICE r4)
+_vec_min_dim_active: list = [None]
+
+
+@contextlib.contextmanager
+def _vec_policy(min_dim):
+    prev = _vec_min_dim_active[0]
+    _vec_min_dim_active[0] = min_dim
+    try:
+        yield
+    finally:
+        _vec_min_dim_active[0] = prev
 
 
 def _use_vec(*dims):
@@ -123,7 +140,12 @@ def _use_vec(*dims):
     ov = os.environ.get("QCT_LANES_VEC")
     if ov is not None:
         return ov not in ("0", "false")
-    return max(dims) >= _VEC_MIN_DIM
+    thr = (
+        _vec_min_dim_active[0]
+        if _vec_min_dim_active[0] is not None
+        else _VEC_MIN_DIM
+    )
+    return max(dims) >= thr
 
 
 def _row_set(buf, i, row):
@@ -635,9 +657,28 @@ def _from_lanes_solution(dz_rest, dz_last, nus, Bt, squeeze):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("delta_c", "interpret", "want_factors")
+    jax.jit,
+    static_argnames=("delta_c", "interpret", "want_factors", "vec_min_dim"),
 )
 def solve_kkt_lanes(
+    H, C, A, B, rz, rnu, delta_c: float, *,
+    interpret: bool = False, want_factors: bool = False,
+    vec_min_dim: int | None = None,
+):
+    """Batched block-tridiagonal KKT solve in lanes layout (fused sweeps).
+
+    vec_min_dim: stage-dimension threshold at which the vectorized lanes
+    family replaces the unrolled one (None -> module default
+    _VEC_MIN_DIM=25); the solver threads SolverOptions.lanes_max_dim+1 here
+    so family selection matches the configured cutover."""
+    with _vec_policy(vec_min_dim):
+        return _solve_kkt_lanes_impl(
+            H, C, A, B, rz, rnu, delta_c,
+            interpret=interpret, want_factors=want_factors,
+        )
+
+
+def _solve_kkt_lanes_impl(
     H, C, A, B, rz, rnu, delta_c: float, *,
     interpret: bool = False, want_factors: bool = False,
 ):
@@ -727,8 +768,23 @@ def solve_kkt_lanes(
     return dz, nu, ok
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def resolve_kkt_lanes(fac: LanesFactors, rz, rnu, *, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "vec_min_dim")
+)
+def resolve_kkt_lanes(
+    fac: LanesFactors, rz, rnu, *,
+    interpret: bool = False, vec_min_dim: int | None = None,
+):
+    """Rhs-only re-solve (see _resolve_kkt_lanes_impl); vec_min_dim as in
+    solve_kkt_lanes (static: part of the jit cache key so different
+    cutovers never share a compiled kernel)."""
+    with _vec_policy(vec_min_dim):
+        return _resolve_kkt_lanes_impl(fac, rz, rnu, interpret=interpret)
+
+
+def _resolve_kkt_lanes_impl(
+    fac: LanesFactors, rz, rnu, *, interpret: bool = False
+):
     """Rhs-only re-solve against an existing lanes factorization.
 
     rz (Bt, T, d[, r]), rnu (Bt, T-1, s[, r]) batch-first.  Two rhs sweeps
@@ -784,8 +840,22 @@ def resolve_kkt_lanes(fac: LanesFactors, rz, rnu, *, interpret: bool = False):
 # --------------------------------------------------------------------------- #
 
 
-@functools.partial(jax.jit, static_argnames=("delta_c", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("delta_c", "interpret", "vec_min_dim")
+)
 def solve_kkt_lanes_scan(
+    H, C, A, B, rz, rnu, delta_c: float, *,
+    interpret: bool = False, vec_min_dim: int | None = None,
+):
+    """Per-knot-kernel variant (see impl); vec_min_dim as in
+    solve_kkt_lanes."""
+    with _vec_policy(vec_min_dim):
+        return _solve_kkt_lanes_scan_impl(
+            H, C, A, B, rz, rnu, delta_c, interpret=interpret
+        )
+
+
+def _solve_kkt_lanes_scan_impl(
     H, C, A, B, rz, rnu, delta_c: float, *, interpret: bool = False
 ):
     """Per-knot-kernel variant of solve_kkt_lanes (lax.scan over knots;

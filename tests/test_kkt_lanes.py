@@ -198,3 +198,34 @@ class TestLanesKKT:
         # business of the other behavior tests
         assert abs(f_x - f_l) < 1e-6
         assert f_l > 0.8
+
+
+class TestVecFamilyDispatch:
+    def test_vec_min_dim_threads_to_dispatch(self):
+        # ADVICE r4: family selection must follow the configured cutover,
+        # not the module-level default
+        from quantumcollocation_tpu.solver import kkt_lanes as kl
+
+        assert not kl._use_vec(5)  # default: d=5 unrolled
+        with kl._vec_policy(4):
+            assert kl._use_vec(5)  # lowered cutover: d=5 vectorized
+        with kl._vec_policy(100):
+            assert not kl._use_vec(47)  # raised cutover: d=47 unrolled
+        assert not kl._use_vec(5)  # restored
+
+    def test_vec_family_matches_unrolled_at_small_d(self):
+        # force the vectorized family at d=5 via the public kwarg and pin
+        # exact agreement with the (default) unrolled family
+        H, C, A, B, rz, rnu = _random_kkt(Bt=4, T=6, seed=11)
+        args = [jnp.asarray(x) for x in (H, C, A, B, rz, rnu)]
+        dz_u, nu_u, ok_u = solve_kkt_lanes(*args, 1e-8, interpret=True)
+        dz_v, nu_v, ok_v = solve_kkt_lanes(
+            *args, 1e-8, interpret=True, vec_min_dim=1
+        )
+        assert bool(ok_u.all()) and bool(ok_v.all())
+        np.testing.assert_allclose(
+            np.asarray(dz_v), np.asarray(dz_u), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(nu_v), np.asarray(nu_u), atol=1e-9
+        )
