@@ -198,6 +198,15 @@ class InteriorPointSolver:
              else bool(self.options.kkt_aug))
             and not self.qn_lbfgs
         )
+        # retry warm start (SolverOptions.kkt_retry_warm): "auto" follows
+        # the lift — the chronic-retry class where the plain first attempt
+        # fails ~always (round-5 min-time diag: dw>0 for ~100% of instances
+        # on every iteration => one wasted batched factorization/iter)
+        self.retry_warm_on = (
+            self.kkt_aug_on
+            if self.options.kkt_retry_warm == "auto"
+            else bool(self.options.kkt_retry_warm)
+        )
         if self.qn_lbfgs and self.options.kkt_backend == "lanes_scan":
             raise ValueError(
                 "kkt_backend='lanes_scan' (the per-knot cross-validation "
@@ -1521,13 +1530,31 @@ class InteriorPointSolver:
             k, dw_try, dw_used, rho_used, dz, nu, ok, facc = carry
             return (~ok.all()) & (k < 12)
 
+        # retry warm start: instances whose previous iteration accepted a
+        # regularized factorization start their k=0 attempt at dw_prev/3
+        # with the lift engaged, skipping the known-doomed plain attempt
+        # (per instance — cold instances still try pure Newton first).
+        # Once dw_prev/3 decays below kkt_retry_warm_min the instance
+        # resumes the dw=0 attempt, recovering the Newton endgame.
+        if self.retry_warm_on:
+            dw_warm = jnp.where(
+                delta_w0 / 3.0 >= opts.kkt_retry_warm_min,
+                jnp.maximum(opts.delta_w_min, delta_w0 / 3.0),
+                0.0,
+            )
+        else:
+            dw_warm = jnp.zeros((Bt,), dtype)
+
         def body_fn(carry):
             k, dw_try, dw_used, rho_used, dz, nu, ok, facc = carry
             dw_next = jnp.where(
                 k == 0,
-                0.0,
+                dw_warm,
                 jnp.where(
-                    k == 1,
+                    # per-instance escalation: a failed dw=0 attempt moves
+                    # to the first regularization level; a failed dw>0
+                    # attempt escalates x8 (Ipopt A-5 kappa_w^+)
+                    dw_try == 0.0,
                     jnp.where(
                         delta_w0 > 0,
                         jnp.maximum(opts.delta_w_min, delta_w0 / 3.0),
@@ -1542,9 +1569,15 @@ class InteriorPointSolver:
             # quadratic-convergence endgame (an aug+dw=0 "memory" shortcut
             # for hard instances was measured to degrade the leakage tail
             # 0.906 -> 0.781: near-semidefinite augmented dw=0 steps are
-            # poor)
+            # poor).  Warm-started dw>0 first attempts carry the lift too
+            # (the accepted config they resume WAS lift+dw).
             rho_next = (
-                jnp.where(k >= opts.kkt_aug_start, rho_base, 0.0)
+                jnp.where(
+                    (k >= opts.kkt_aug_start)
+                    | (self.retry_warm_on & (dw_next > 0)),
+                    rho_base,
+                    0.0,
+                )
                 if aug_on
                 else rho_base  # zeros when the lift is off
             )

@@ -72,6 +72,19 @@ class SolverOptions:
     kkt_aug: Any = "auto"
     kkt_aug_rho_factor: float = 2.0
     kkt_aug_start: int = 1
+    # retry warm start: skip the known-doomed plain (dw=0, rho=0) first
+    # factorization attempt for instances whose PREVIOUS iteration needed
+    # regularization — their k=0 attempt starts directly at dw_prev/3 with
+    # the rho lift engaged (per instance; cold instances still try pure
+    # Newton first).  Measured on the min-time class the plain attempt
+    # fails for ~100% of instances on ~100% of iterations (round-5 diag),
+    # so every iteration paid >= 1 wasted batched factorization.  The
+    # /3-per-success decay still recovers the Newton tail: once
+    # dw_prev/3 < kkt_retry_warm_min the instance resumes trying dw=0.
+    # "auto" = on iff the rho*J^T J lift is active (the chronic-retry
+    # class); True/False force.
+    kkt_retry_warm: Any = "auto"
+    kkt_retry_warm_min: float = 1e-6
     # line search: "filter" (Wächter–Biegler filter acceptance: a trial is
     # accepted when it improves constraint violation OR barrier objective
     # vs. the filter, with an Armijo test on the barrier objective when the
