@@ -83,6 +83,14 @@ class IPMState(NamedTuple):
     # consecutive iterations with E0 <= acceptable_tol (Ipopt acceptable-
     # level termination); int32 (B,)
     acc_count: Any = 0
+    # feasibility-restoration state (None unless SolverOptions.restoration
+    # with an exact/Gauss-Newton Hessian; Ipopt A-9 analog):
+    ls_fail: Any = None  # (B,) bool: last line search fell back
+    stall_count: Any = None  # (B,) int32 consecutive ls failures
+    in_resto: Any = None  # (B,) bool: instance is in a restoration episode
+    resto_zR: Any = None  # (B, T, d) proximity reference iterate
+    resto_theta0: Any = None  # (B,) l1 infeasibility at episode entry
+    resto_k: Any = None  # (B,) int32 iterations inside the episode
     # watchdog state (None unless watchdog_trials > 0 with the filter line
     # search): when the filter rejects every trial step, up to
     # watchdog_trials FULL steps are taken tentatively; if no acceptable
@@ -151,6 +159,12 @@ class _IterAux(NamedTuple):
     qn_sty: Any = None
     qn_count: Any = None
     qn_sigma: Any = None
+    # restoration transitions decided in _iteration_pre (persisted by post)
+    in_resto: Any = None
+    resto_zR: Any = None
+    stall_count: Any = None
+    resto_theta0: Any = None
+    resto_k: Any = None
 
 
 @dataclasses.dataclass(eq=False)  # identity hash: jit-static self
@@ -207,6 +221,9 @@ class InteriorPointSolver:
             if self.options.kkt_retry_warm == "auto"
             else bool(self.options.kkt_retry_warm)
         )
+        # feasibility restoration (Ipopt A-9 analog; SolverOptions docs):
+        # exact/GN Hessian modes only
+        self.resto_on = bool(self.options.restoration) and not self.qn_lbfgs
         if self.qn_lbfgs and self.options.kkt_backend == "lanes_scan":
             raise ValueError(
                 "kkt_backend='lanes_scan' (the per-knot cross-validation "
@@ -330,7 +347,10 @@ class InteriorPointSolver:
         mu0 = jnp.full((B,), opts.mu_init, dtype)
         g0 = jax.vmap(self.funcs.ineqs)(Z)
         sig = jnp.maximum(g0, 1e-2)
-        w = mu0[:, None, None] / sig if nlp.m > 0 else sig
+        # m == 0: w must be a DISTINCT (empty) buffer — an aliased leaf
+        # breaks _solve_loop's whole-state donation (donate-twice error on
+        # the eager segment path)
+        w = mu0[:, None, None] / sig if nlp.m > 0 else jnp.zeros_like(sig)
         zl = jnp.broadcast_to(has_lb, Z.shape) * 1.0
         zu = jnp.broadcast_to(has_ub, Z.shape) * 1.0
 
@@ -360,7 +380,12 @@ class InteriorPointSolver:
         with jax.default_matmul_precision(self.options.matmul_precision):
             lam0 = jax.vmap(ls_lam)(Z, w)
 
-        zeros = jnp.zeros((B,), dtype)
+        # every leaf gets its OWN buffer: _solve_loop donates the whole
+        # state, and any two aliased leaves trip XLA's donate-twice check
+        # on the eager segment path (init_state outside jit)
+        def zeros():
+            return jnp.zeros((B,), dtype)
+
         if self.options.line_search == "filter":
             # initial infeasibility sets the filter scales (Ipopt:
             # theta_min = 1e-4 max(1, theta_0), theta_max = 1e4 max(1, theta_0))
@@ -381,12 +406,13 @@ class InteriorPointSolver:
             wd = dict(
                 wd_count=jnp.zeros((B,), jnp.int32),
                 wd_cool=jnp.zeros((B,), jnp.int32),
-                wd_Z=Z,
-                wd_lam=lam0,
-                wd_sig=sig,
-                wd_w=w,
-                wd_zl=zl,
-                wd_zu=zu,
+                # copies, not aliases: whole-state donation (see zeros())
+                wd_Z=Z + jnp.zeros_like(Z),
+                wd_lam=lam0 + jnp.zeros_like(lam0),
+                wd_sig=sig + jnp.zeros_like(sig),
+                wd_w=w + jnp.zeros_like(w),
+                wd_zl=zl + jnp.zeros_like(zl),
+                wd_zu=zu + jnp.zeros_like(zu),
             )
         else:
             wd = {}
@@ -398,11 +424,24 @@ class InteriorPointSolver:
                 qn_Y=jnp.zeros((B, mem, n), dtype),
                 qn_sty=jnp.zeros((B, mem), dtype),
                 qn_count=jnp.zeros((B,), jnp.int32),
-                qn_prevZ=Z,  # first pair is s=0 -> skipped automatically
+                qn_prevZ=Z + jnp.zeros_like(Z),  # s=0 pair skipped; copy
                 qn_sigma=jnp.ones((B,), dtype),
             )
         else:
             qn = {}
+        if self.resto_on:
+            resto = dict(
+                ls_fail=jnp.zeros((B,), bool),
+                stall_count=jnp.zeros((B,), jnp.int32),
+                in_resto=jnp.zeros((B,), bool),
+                # distinct buffer: _solve_loop donates the state, and an
+                # aliased leaf would be donated twice
+                resto_zR=Z + jnp.zeros_like(Z),
+                resto_theta0=jnp.zeros((B,), dtype),
+                resto_k=jnp.zeros((B,), jnp.int32),
+            )
+        else:
+            resto = {}
         return IPMState(
             Z=Z,
             lam=lam0,
@@ -415,18 +454,19 @@ class InteriorPointSolver:
             converged=jnp.zeros((B,), bool),
             n_iter=jnp.zeros((B,), jnp.int32),
             kkt_err=jnp.full((B,), jnp.inf, dtype),
-            alpha=zeros,
-            e_dual=zeros,
-            e_pr=zeros,
-            e_comp=zeros,
+            alpha=zeros(),
+            e_dual=zeros(),
+            e_pr=zeros(),
+            e_comp=zeros(),
             ls_k=jnp.zeros((B,), jnp.int32),
-            reg_dw=zeros,
-            alpha_du=zeros,
-            d_norm=zeros,
+            reg_dw=zeros(),
+            alpha_du=zeros(),
+            d_norm=zeros(),
             acc_count=jnp.zeros((B,), jnp.int32),
             **flt,
             **wd,
             **qn,
+            **resto,
         )
 
     # ------------------------------------------------------------------ #
@@ -487,6 +527,47 @@ class InteriorPointSolver:
         if m > 0:
             E_pr_raw = jnp.maximum(E_pr_raw, jnp.max(jnp.abs(g - sig)))
 
+        # -------- feasibility-restoration state machine (Ipopt A-9) ------ #
+        # Transitions are decided here (per instance, from last iteration's
+        # line-search outcome carried in the state); the decided flags drive
+        # the objective-model swap below and are persisted by
+        # _iteration_post.  See SolverOptions.restoration for the design.
+        if self.resto_on:
+            theta_cur = jnp.sum(jnp.abs(F))
+            if m > 0:
+                theta_cur = theta_cur + jnp.sum(jnp.abs(g - sig))
+            stall_c = jnp.where(
+                state.ls_fail & (~state.in_resto),
+                state.stall_count + 1,
+                0,
+            ).astype(jnp.int32)
+            enter = (
+                (~state.in_resto)
+                & (stall_c >= opts.resto_trigger)
+                & (theta_cur > 1e2 * opts.tol)
+                & (~state.converged)
+            )
+            exit_ = state.in_resto & (
+                (theta_cur <= opts.resto_kappa * state.resto_theta0)
+                | (theta_cur <= opts.tol)
+                | (state.resto_k >= opts.resto_max_iters)
+            )
+            in_resto = (state.in_resto | enter) & (~exit_)
+            zR = jnp.where(enter, Z, state.resto_zR)
+            resto_theta0 = jnp.where(enter, theta_cur, state.resto_theta0)
+            resto_k = jnp.where(
+                in_resto, jnp.where(enter, 1, state.resto_k + 1), 0
+            ).astype(jnp.int32)
+            stall_c = jnp.where(enter, 0, stall_c)
+            resto_flip = enter | exit_
+            # Ipopt's D_R = min(1, 1/|x_R|) proximity scaling
+            Dr2 = 1.0 / jnp.maximum(1.0, zR * zR)
+        else:
+            in_resto = jnp.zeros((), bool)
+            zR = Dr2 = None
+            stall_c = resto_theta0 = resto_k = None
+            resto_flip = jnp.zeros((), bool)
+
         if opts.recalc_y:
             # Full least-squares multiplier reset at near-feasible points
             # (the reference's recalc_y knob, /root/reference/src/
@@ -514,8 +595,18 @@ class InteriorPointSolver:
             )
             lam = jnp.where(good, nu_ls, lam)
 
-        # grad phi - J^T lam - Jg^T w, assembled from the fused blocks
+        # grad phi - J^T lam - Jg^T w, assembled from the fused blocks.
+        # E0/convergence always measures the ORIGINAL problem's KKT error;
+        # restoration instances additionally get a swapped objective model
+        # (proximity gradient) for the step computation only.
         gL = gcost - _jt(A, Bj, lam) - jg_w
+        if self.resto_on:
+            g_resto = opts.resto_zeta * Dr2 * (Z - zR)
+            gcost_kkt = jnp.where(in_resto, g_resto, gcost)
+            gL_kkt = gcost_kkt - _jt(A, Bj, lam) - jg_w
+        else:
+            gcost_kkt = gcost
+            gL_kkt = gL
         r_dual = (gL - has_lb * zl + has_ub * zu) * free
 
         n_duals = (T - 1) * s + T * m + int(self._has_lb.sum() + self._has_ub.sum())
@@ -619,6 +710,17 @@ class InteriorPointSolver:
                 C = jnp.zeros((T - 1, d, d), dtype)
             else:
                 H, C = f.hess_blocks_aux(Z, lam, w, dyn_aux)
+                if self.resto_on:
+                    # restoration objective model: PD proximity Hessian
+                    # zeta*D_R^2, no stage coupling (the defect linearization
+                    # A/B rows are kept — the step is a proximal projection
+                    # onto the linearized feasible manifold)
+                    H_resto = jax.vmap(jnp.diag)(
+                        opts.resto_zeta * Dr2
+                        + jnp.zeros_like(Z)  # broadcast to (T, d)
+                    )
+                    H = jnp.where(in_resto, H_resto, H)
+                    C = jnp.where(in_resto, jnp.zeros_like(C), C)
                 qn_S = qn_Y = qn_sty = qn_count = qn_sigma = None
                 U_lr = M_lr = None
 
@@ -656,7 +758,7 @@ class InteriorPointSolver:
         else:
             jg_term = 0.0
         r_z = (
-            gL
+            gL_kkt
             - jg_term
             - jnp.where(has_lb > 0, mu / sl, 0.0)
             + jnp.where(has_ub > 0, mu / su, 0.0)
@@ -682,13 +784,25 @@ class InteriorPointSolver:
             now_converged=now_converged,
             lam=lam,
             rz_kkt=-r_z,
-            gcost=gcost,
-            mu_changed=mu_changed,
+            # the step model's gradient: restoration instances carry the
+            # proximity gradient so the filter's Armijo/directional tests
+            # match the objective the step was computed against
+            gcost=gcost_kkt,
+            # restoration entry/exit invalidates the filter like a barrier
+            # update does
+            mu_changed=mu_changed | resto_flip
+            if self.resto_on
+            else mu_changed,
             qn_S=qn_S,
             qn_Y=qn_Y,
             qn_sty=qn_sty,
             qn_count=qn_count,
             qn_sigma=qn_sigma,
+            in_resto=in_resto if self.resto_on else None,
+            resto_zR=zR,
+            stall_count=stall_c,
+            resto_theta0=resto_theta0,
+            resto_k=resto_k,
         )
         return kkt_in, aux
 
@@ -978,10 +1092,25 @@ class InteriorPointSolver:
 
         eval_prec = opts.eval_precision or opts.matmul_precision
 
+        if self.resto_on:
+            # restoration instances evaluate trial objectives against the
+            # proximity model the step was computed for (matching
+            # _iteration_pre's gradient/Hessian swap)
+            Dr2_p = 1.0 / jnp.maximum(1.0, aux.resto_zR * aux.resto_zR)
+
+            def cost_eff(Zc):
+                c_resto = 0.5 * opts.resto_zeta * jnp.sum(
+                    Dr2_p * (Zc - aux.resto_zR) ** 2
+                )
+                return jnp.where(aux.in_resto, c_resto, f.total_cost(Zc))
+
+        else:
+            cost_eff = f.total_cost
+
         def theta_phi(Zc, sigc):
             with jax.default_matmul_precision(eval_prec):
                 return theta_phi_parts(
-                    f.total_cost(Zc), f.defects(Zc), f.ineqs(Zc), Zc, sigc
+                    cost_eff(Zc), f.defects(Zc), f.ineqs(Zc), Zc, sigc
                 )
 
         def merit(Zc, sigc):
@@ -990,7 +1119,7 @@ class InteriorPointSolver:
 
         # current point reuses the already-evaluated residuals F, g
         with jax.default_matmul_precision(eval_prec):
-            theta_k, phi_0 = theta_phi_parts(f.total_cost(Z), F, g, Z, sig)
+            theta_k, phi_0 = theta_phi_parts(cost_eff(Z), F, g, Z, sig)
         m0 = phi_0 + nu_pen * theta_k
 
         if opts.line_search == "filter":
@@ -1124,7 +1253,14 @@ class InteriorPointSolver:
         scale = jnp.where(upd, 1.0, 0.0)
 
         Z_new = Z + scale * alpha * dz * free
-        lam_new = lam + scale * alpha * dlam
+        # equality multipliers are frozen across a restoration episode (the
+        # proximity QP's nu estimate the projection's multipliers, not the
+        # original problem's; Ipopt re-estimates duals on A-9 exit — the
+        # frozen pre-entry lam plays that role here)
+        lam_scale = (
+            jnp.where(aux.in_resto, 0.0, scale) if self.resto_on else scale
+        )
+        lam_new = lam + lam_scale * alpha * dlam
         # dual safeguarding (the reference's recalc_y knob exists for exactly
         # this, unitary_robustness_problem.jl:166): runaway equality
         # multipliers poison the exact Lagrangian Hessian and stall the
@@ -1224,6 +1360,25 @@ class InteriorPointSolver:
             )
         else:
             qn = {}
+        if self.resto_on:
+            resto = dict(
+                # line-search outcome feeds the next iteration's stall
+                # counter; frozen instances report no failure
+                ls_fail=jnp.where(upd, ~accepted, state.ls_fail),
+                stall_count=jnp.where(
+                    upd, aux.stall_count, state.stall_count
+                ).astype(jnp.int32),
+                in_resto=jnp.where(upd, aux.in_resto, state.in_resto),
+                resto_zR=jnp.where(upd, aux.resto_zR, state.resto_zR),
+                resto_theta0=jnp.where(
+                    upd, aux.resto_theta0, state.resto_theta0
+                ),
+                resto_k=jnp.where(upd, aux.resto_k, state.resto_k).astype(
+                    jnp.int32
+                ),
+            )
+        else:
+            resto = {}
         return IPMState(
             Z=Z_new,
             lam=lam_new,
@@ -1248,6 +1403,7 @@ class InteriorPointSolver:
             **flt,
             **wd,
             **qn,
+            **resto,
         )
 
     # ------------------------------------------------------------------ #

@@ -85,6 +85,29 @@ class SolverOptions:
     # class); True/False force.
     kkt_retry_warm: Any = "auto"
     kkt_retry_warm_min: float = 1e-6
+    # feasibility restoration (the batched analog of Ipopt algorithm A-9,
+    # the one structural Ipopt piece the reference inherits that rounds
+    # 1-4 lacked): when an instance's line search fails `resto_trigger`
+    # consecutive iterations while still infeasible, the instance enters a
+    # restoration episode — its objective model is swapped for the scaled
+    # proximity cost zeta/2 ||D_R (z - z_R)||^2 (D_R = min(1, 1/|z_R|),
+    # Ipopt's scaling) while the linearized defects/bounds/barrier
+    # machinery keeps running, so each step is a proximal Newton projection
+    # toward the feasible manifold through the SAME batched KKT solve (no
+    # second solver).  Unlike Ipopt we keep hard linearized defect rows
+    # instead of the l1-elastic split (p, n slacks): the delta_c
+    # regularization plays the elastic role and no NLP resizing is needed
+    # in lockstep batch mode.  The episode ends when the l1 infeasibility
+    # theta drops below resto_kappa * theta_entry (or tol, or after
+    # resto_max_iters), the instance's filter is reset on entry and exit,
+    # and equality multipliers are frozen across the episode.  Exact /
+    # Gauss-Newton Hessian modes only (L-BFGS's sigma*I model never
+    # produces the degenerate steps restoration exists for).
+    restoration: bool = True
+    resto_trigger: int = 4
+    resto_kappa: float = 0.1
+    resto_zeta: float = 1e-3
+    resto_max_iters: int = 10
     # line search: "filter" (Wächter–Biegler filter acceptance: a trial is
     # accepted when it improves constraint violation OR barrier objective
     # vs. the filter, with an Armijo test on the barrier objective when the
