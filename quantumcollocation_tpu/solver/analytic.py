@@ -269,6 +269,41 @@ class AnalyticStageDynamics:
             )
         return tuple(banks)
 
+    def assembly_batched(
+        self, Z_batch, lam_batch, *, use_kernel: bool | None = None,
+        interpret: bool = False,
+    ):
+        """FULLY fused F/A/B/Hc/Cc for a (B, T, d) SCALED decision tensor
+        and (B, T-1, s) SCALED multipliers: one Pallas kernel over all
+        (instance, knot) lanes (ops/pallas_dyn_assembly.py), replacing
+        banks_batched + per-instance dyn_eval + defect_curvature.  Returns
+        None when the kernel path is unavailable (non-TPU and interpret
+        False)."""
+        if use_kernel is None:
+            dev = jax.config.jax_default_device
+            platform = (
+                getattr(dev, "platform", dev)
+                if dev is not None
+                else jax.default_backend()
+            )
+            use_kernel = platform == "tpu"
+        if not (use_kernel or interpret):
+            return None
+        from ..ops.pallas_dyn_assembly import (
+            dyn_assembly_lanes,
+            spec_from_analytic,
+        )
+
+        spec = spec_from_analytic(self)
+        G_consts = []
+        for g in self.groups:
+            G_consts.append(jnp.asarray(g.G_drift, Z_batch.dtype))
+            G_consts.append(jnp.asarray(g.G_drives, Z_batch.dtype))
+        return dyn_assembly_lanes(
+            Z_batch, lam_batch, tuple(G_consts), spec=spec,
+            interpret=interpret,
+        )
+
     @staticmethod
     def _umats(Zp, u0, u1, nrows):
         """State iso-vec slice -> (T, nrows, ncols) matrices (iso layout:

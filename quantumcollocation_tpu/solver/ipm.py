@@ -224,6 +224,24 @@ class InteriorPointSolver:
         # feasibility restoration (Ipopt A-9 analog; SolverOptions docs):
         # exact/GN Hessian modes only
         self.resto_on = bool(self.options.restoration) and not self.qn_lbfgs
+        # fused dynamics-assembly kernel (SolverOptions.fused_assembly):
+        # requires the analytic path with exact Hessians and pre-reset
+        # multipliers (recalc_y rewrites lam between the Jacobian and
+        # Hessian evaluations, which a single fused kernel cannot express)
+        _fa = self.options.fused_assembly
+        self.fused_assembly_on = (
+            (self.nlp.analytic is not None)
+            and len(getattr(self.nlp.analytic, "groups", ())) > 0
+            and self.exact_hessian
+            and not self.qn_lbfgs
+            and not self.options.recalc_y
+            and (
+                max(self.nlp.d, self.nlp.s) <= self.options.lanes_max_dim
+                if _fa == "auto"
+                else bool(_fa)
+            )
+            and (_fa is not False)
+        )
         if self.qn_lbfgs and self.options.kkt_backend == "lanes_scan":
             raise ValueError(
                 "kkt_backend='lanes_scan' (the per-knot cross-validation "
@@ -474,7 +492,11 @@ class InteriorPointSolver:
     # the batched KKT solve happens between pre and post, outside the vmap,
     # so the lanes-layout kernel backend can operate on the whole batch)
     # ------------------------------------------------------------------ #
-    def _iteration_pre(self, state: IPMState, banks=None):
+    def _iteration_pre(self, state: IPMState, banks=None, pre=None):
+        """pre: optional (F, A, B, Hc, Cc) from the fused assembly kernel
+        (sliced per instance by the caller's vmap) — replaces dyn_eval's
+        dynamics part AND defect_curvature; the cost Hessian, inequality
+        Jacobian, and everything else evaluate as usual."""
         opts = self.options
         nlp = self.nlp
         f = self.funcs
@@ -505,9 +527,15 @@ class InteriorPointSolver:
         # bf16 passes than the factorization (docs/roadmap.md, TPU section)
         eval_prec = opts.eval_precision or opts.matmul_precision
         with jax.default_matmul_precision(eval_prec):
-            # ONE fused dynamics pass: defects + Jacobian blocks (+ the
-            # propagator-bank aux reused by the Hessian below)
-            F, A, Bj, Jg, dyn_aux = f.dyn_eval(Z, banks)
+            if pre is not None:
+                F, A, Bj, Hc_pre, Cc_pre = pre
+                Jg = f.jac_ineq(Z)
+                dyn_aux = None
+            else:
+                # ONE fused dynamics pass: defects + Jacobian blocks (+ the
+                # propagator-bank aux reused by the Hessian below)
+                F, A, Bj, Jg, dyn_aux = f.dyn_eval(Z, banks)
+                Hc_pre = Cc_pre = None
             g = f.ineqs(Z)  # (T, m)
             gcost = f.grad_cost(Z)  # cost gradient (no constraint terms)
 
@@ -708,6 +736,19 @@ class InteriorPointSolver:
                     jnp.eye(d, dtype=dtype), (T, d, d)
                 )
                 C = jnp.zeros((T - 1, d, d), dtype)
+            elif pre is not None:
+                # fused path: cost blocks in XLA + kernel defect curvature
+                H, C = f.cost_hess(Z, w)
+                H = H + Hc_pre
+                C = C + Cc_pre
+                qn_S = qn_Y = qn_sty = qn_count = qn_sigma = None
+                U_lr = M_lr = None
+                if self.resto_on:
+                    H_resto = jax.vmap(jnp.diag)(
+                        opts.resto_zeta * Dr2 + jnp.zeros_like(Z)
+                    )
+                    H = jnp.where(in_resto, H_resto, H)
+                    C = jnp.where(in_resto, jnp.zeros_like(C), C)
             else:
                 H, C = f.hess_blocks_aux(Z, lam, w, dyn_aux)
                 if self.resto_on:
@@ -1431,7 +1472,7 @@ class InteriorPointSolver:
         cr = opts.kkt_backend == "cr"
         interp = jax.default_backend() != "tpu"
         keep_fac = (
-            opts.soc
+            (opts.soc or opts.kkt_refine > 0)
             and not self.qn_lbfgs
             and opts.kkt_backend not in ("lanes_scan", "cr")
         )
@@ -1650,35 +1691,41 @@ class InteriorPointSolver:
                         fac.L_P, fac.L_S, fac.X_A, fac.G, fac.L_final
                     )
 
-            if aug_on and resolve is not None:
-                # refinement: residual of the ORIGINAL system at (dz, nu),
-                # corrected through the augmented factors (triangular work
-                # only on the xla/lanes paths — no refactorization)
-                Hdz = (
-                    jnp.einsum("btij,btj->bti", H, dz)
-                    + dw[:, None, None] * dz
-                )
-                Hdz = Hdz.at[:, :-1].add(
-                    jnp.einsum("btij,btj->bti", C, dz[:, 1:])
-                )
-                Hdz = Hdz.at[:, 1:].add(
-                    jnp.einsum("btji,btj->bti", C, dz[:, :-1])
-                )
-                JTnu = jnp.zeros_like(dz)
-                JTnu = JTnu.at[:, :-1].add(
-                    jnp.einsum("btsd,bts->btd", A, nu)
-                )
-                JTnu = JTnu.at[:, 1:].add(
-                    jnp.einsum("btsd,bts->btd", Bj, nu)
-                )
-                r1 = Hdz + JTnu - rz_v
-                Jdz = jnp.einsum(
-                    "btsd,btd->bts", A, dz[:, :-1]
-                ) + jnp.einsum("btsd,btd->bts", Bj, dz[:, 1:])
-                r2 = Jdz - opts.delta_c * nu - rnu_v
-                ez, enu, okr = resolve(_jt_lift(rho, -r1, -r2), -r2)
-                dz = dz + jnp.where(okr[:, None, None], ez, 0.0)
-                nu = nu + jnp.where(okr[:, None, None], enu, 0.0)
+            # refinement: residual of the ORIGINAL system at (dz, nu),
+            # corrected through the kept factors (triangular work only on
+            # the xla/lanes paths — no refactorization).  One pass is
+            # mandatory with the rho lift (corrects rho-conditioning
+            # noise); opts.kkt_refine adds passes on ANY factor-keeping
+            # backend (rho=0 makes the _jt_lift transform inert), the
+            # d=47 vectorized-family precision hardening.
+            n_ref = max(opts.kkt_refine, 1 if aug_on else 0)
+            if n_ref > 0 and resolve is not None:
+                for _ in range(n_ref):
+                    Hdz = (
+                        jnp.einsum("btij,btj->bti", H, dz)
+                        + dw[:, None, None] * dz
+                    )
+                    Hdz = Hdz.at[:, :-1].add(
+                        jnp.einsum("btij,btj->bti", C, dz[:, 1:])
+                    )
+                    Hdz = Hdz.at[:, 1:].add(
+                        jnp.einsum("btji,btj->bti", C, dz[:, :-1])
+                    )
+                    JTnu = jnp.zeros_like(dz)
+                    JTnu = JTnu.at[:, :-1].add(
+                        jnp.einsum("btsd,bts->btd", A, nu)
+                    )
+                    JTnu = JTnu.at[:, 1:].add(
+                        jnp.einsum("btsd,bts->btd", Bj, nu)
+                    )
+                    r1 = Hdz + JTnu - rz_v
+                    Jdz = jnp.einsum(
+                        "btsd,btd->bts", A, dz[:, :-1]
+                    ) + jnp.einsum("btsd,btd->bts", Bj, dz[:, 1:])
+                    r2 = Jdz - opts.delta_c * nu - rnu_v
+                    ez, enu, okr = resolve(_jt_lift(rho, -r1, -r2), -r2)
+                    dz = dz + jnp.where(okr[:, None, None], ez, 0.0)
+                    nu = nu + jnp.where(okr[:, None, None], enu, 0.0)
 
             return dz, nu, ok, fac_carry
 
@@ -1813,7 +1860,16 @@ class InteriorPointSolver:
         # the Pallas lanes kernel packs all (instance, knot) pairs into its
         # 128-lane tiles (solver/analytic.py banks_batched)
         analytic = self.nlp.analytic
-        if analytic is not None and len(analytic.groups) > 0:
+        pre = None
+        if self.fused_assembly_on:
+            # fully fused path: ONE kernel emits F/A/B + defect curvature
+            # for the whole (batch x knots) lane population
+            pre = analytic.assembly_batched(state.Z, state.lam)
+        if pre is not None:
+            kkt_in, aux = jax.vmap(
+                lambda st, p: self._iteration_pre(st, None, p)
+            )(state, pre)
+        elif analytic is not None and len(analytic.groups) > 0:
             eval_prec = self.options.eval_precision or self.options.matmul_precision
             with jax.default_matmul_precision(eval_prec):
                 banks = analytic.banks_batched(
@@ -1827,7 +1883,8 @@ class InteriorPointSolver:
         dz, dlam, ok, dw_used, delta_w_new, fac, rho_used = (
             self._solve_kkt_batched(kkt_in, state.delta_w)
         )
-        if fac is None:
+        if fac is None or not self.options.soc:
+            # factors may be kept for kkt_refine without soc: skip A-5.1
             return jax.vmap(
                 lambda st, au, a, b, c, d_, e: self._iteration_post(
                     st, au, a, b, c, d_, e, None

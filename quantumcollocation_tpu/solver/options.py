@@ -105,6 +105,23 @@ class SolverOptions:
     # produces the degenerate steps restoration exists for).
     restoration: bool = True
     resto_trigger: int = 4
+    # fused dynamics assembly: ONE Pallas kernel computes F/A/B and the
+    # defect curvature Hc/Cc for every (instance, knot) lane
+    # (ops/pallas_dyn_assembly.py), replacing the bank kernel plus ~40
+    # dispatch-bound XLA assembly ops per iteration (measured 51% of the
+    # step).  "auto" = on when the analytic path, exact Hessian, and the
+    # lanes backend apply, recalc_y is off (the kernel consumes pre-reset
+    # multipliers), and stage dims fit lanes_max_dim (trace cost is cubic
+    # in d, like the unrolled KKT family).  True/False force.
+    fused_assembly: Any = "auto"
+    # extra iterative-refinement passes after every KKT solve, re-solving
+    # the f32 residual through the SAME kept factorization (triangular
+    # work only).  Each pass multiplies the backward error by ~eps*cond —
+    # the d=47 vectorized-lanes family measured rel_err 9.3e-5 vs dense
+    # f64 (artifacts/tpu_lanes_vec_r04.json), uncomfortably near the 1e-4
+    # scoring band; one pass buys ~3 digits for ~20% solve cost.  Implies
+    # factor-keeping on the xla/fused-lanes backends (like soc).
+    kkt_refine: int = 0
     resto_kappa: float = 0.1
     resto_zeta: float = 1e-3
     resto_max_iters: int = 10

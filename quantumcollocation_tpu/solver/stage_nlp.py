@@ -147,6 +147,10 @@ class NLPFunctions:
     grad_cost: Callable  # (Z) -> (T, d)  gradient of costs ONLY (no J^T λ)
     dyn_eval: Callable  # (Z) -> (F, A, B, Jg, aux) in one pass
     hess_blocks_aux: Callable  # (Z, lam, w, aux) -> (H, C), reusing aux
+    # pieces for the fused-assembly kernel path (ops/pallas_dyn_assembly):
+    # the kernel provides F/A/B + defect curvature; these provide the rest
+    cost_hess: Callable = None  # (Z, w) -> (H, C) cost(+ineq) blocks only
+    jac_ineq: Callable = None  # (Z) -> (T, m, d)
 
 
 def make_nlp_functions(nlp: StageNLP, *, exact_hessian: bool = True) -> NLPFunctions:
@@ -337,4 +341,6 @@ def make_nlp_functions(nlp: StageNLP, *, exact_hessian: bool = True) -> NLPFunct
         grad_cost=grad_cost,
         dyn_eval=dyn_eval,
         hess_blocks_aux=hess_blocks_aux,
+        cost_hess=_cost_hess,
+        jac_ineq=_jac_g_full,
     )

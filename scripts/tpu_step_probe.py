@@ -107,4 +107,70 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--finer" not in sys.argv:
+        main()
+
+
+def finer():
+    """Finer pre-stage split: banks kernel vs post-bank assembly vs
+    Hessian contraction (round-5 fusion-planning probe)."""
+    prob = build()
+    solver = prob.solver
+    analytic = solver.nlp.analytic
+    f = solver.funcs
+    Z0 = prob.multistart_initial_decisions(
+        B, sigma=0.1, rng=np.random.default_rng(42)
+    )
+    Z0j = jnp.asarray(Z0, jnp.float32)
+    state = jax.jit(solver.init_state)(Z0j)
+    jax.block_until_ready(state)
+
+    @jax.jit
+    def banks_loop(Z):
+        def body(i, Zc):
+            with jax.default_matmul_precision("highest"):
+                banks = analytic.banks_batched(Zc, second_order=True)
+            leaf = jax.tree_util.tree_leaves(banks)[0]
+            return Zc + 1e-12 * leaf.sum()
+        return jax.lax.fori_loop(0, N, body, Z)
+
+    bench_fn(banks_loop, state.Z, label="banks_only")
+
+    @jax.jit
+    def dyn_loop(Z):
+        def body(i, Zc):
+            with jax.default_matmul_precision("highest"):
+                banks = analytic.banks_batched(Zc, second_order=True)
+                F, A, Bj, Jg, aux = jax.vmap(
+                    lambda z, b: f.dyn_eval(z, b)
+                )(Zc, banks)
+            return Zc + 1e-12 * (F.sum() + A.sum() + Bj.sum())
+        return jax.lax.fori_loop(0, N, body, Z)
+
+    bench_fn(dyn_loop, state.Z, label="banks_plus_dyn_eval")
+
+    with jax.default_matmul_precision("highest"):
+        banks0 = jax.jit(
+            lambda z: analytic.banks_batched(z, second_order=True)
+        )(state.Z)
+        F0, A0, B0, Jg0, aux0 = jax.jit(
+            lambda z, b: jax.vmap(lambda zz, bb: f.dyn_eval(zz, bb))(z, b)
+        )(state.Z, banks0)
+    jax.block_until_ready(aux0)
+
+    @jax.jit
+    def hess_loop(lam, aux):
+        def body(i, lamc):
+            with jax.default_matmul_precision("highest"):
+                H, C = jax.vmap(f.hess_blocks_aux)(
+                    state.Z, lamc, state.w, aux
+                )
+            return lamc + 1e-12 * (H.sum() + C.sum())
+        return jax.lax.fori_loop(0, N, body, lam)
+
+    bench_fn(hess_loop, state.lam, aux0, label="hess_only")
+    print("FINER DONE", flush=True)
+
+
+if __name__ == "__main__" and "--finer" in sys.argv:
+    finer()

