@@ -158,6 +158,8 @@ def _solver_options(qct, args, **over):
     )
     if args.lanes_vec_max_dim is not None:
         kw["lanes_vec_max_dim"] = args.lanes_vec_max_dim
+    if args.kkt_refine is not None:
+        kw["kkt_refine"] = args.kkt_refine
     kw.update(over)
     return qct.SolverOptions(**kw)
 
@@ -610,6 +612,8 @@ def _run_config_subprocess(name, args, timeout_s=1500):
     ]
     if args.lanes_vec_max_dim is not None:
         cmd += ["--lanes-vec-max-dim", str(args.lanes_vec_max_dim)]
+    if args.kkt_refine is not None:
+        cmd += ["--kkt-refine", str(args.kkt_refine)]
     if args.eval_precision:
         cmd += ["--eval-precision", args.eval_precision]
     if args.kkt_backend:
@@ -656,6 +660,11 @@ def main():
         help="override SolverOptions.lanes_vec_max_dim (default 64: the "
         "2-qubit configs run on the vectorized lanes Pallas path; pass 24 "
         "to force the xla fallback)",
+    )
+    parser.add_argument(
+        "--kkt-refine", dest="kkt_refine", type=int, default=None,
+        help="override SolverOptions.kkt_refine (default auto: 1 pass on "
+        "the vectorized lanes family)",
     )
     parser.add_argument("--smoke", action="store_true")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")

@@ -224,6 +224,18 @@ class InteriorPointSolver:
         # feasibility restoration (Ipopt A-9 analog; SolverOptions docs):
         # exact/GN Hessian modes only
         self.resto_on = bool(self.options.restoration) and not self.qn_lbfgs
+        # kkt_refine "auto": one pass iff the fused lanes backend will run
+        # the VECTORIZED family (d or s above lanes_max_dim), whose f32
+        # error band motivated the mechanism (options.py docs)
+        _kr = self.options.kkt_refine
+        if _kr == "auto":
+            vec_family = (
+                self.options.kkt_backend == "lanes"
+                and max(self.nlp.d, self.nlp.s) > self.options.lanes_max_dim
+            )
+            self.kkt_refine_n = 1 if vec_family else 0
+        else:
+            self.kkt_refine_n = int(_kr)
         # fused dynamics-assembly kernel (SolverOptions.fused_assembly):
         # requires the analytic path with exact Hessians and pre-reset
         # multipliers (recalc_y rewrites lam between the Jacobian and
@@ -1472,7 +1484,7 @@ class InteriorPointSolver:
         cr = opts.kkt_backend == "cr"
         interp = jax.default_backend() != "tpu"
         keep_fac = (
-            (opts.soc or opts.kkt_refine > 0)
+            (opts.soc or self.kkt_refine_n > 0)
             and not self.qn_lbfgs
             and opts.kkt_backend not in ("lanes_scan", "cr")
         )
@@ -1698,7 +1710,7 @@ class InteriorPointSolver:
             # noise); opts.kkt_refine adds passes on ANY factor-keeping
             # backend (rho=0 makes the _jt_lift transform inert), the
             # d=47 vectorized-family precision hardening.
-            n_ref = max(opts.kkt_refine, 1 if aug_on else 0)
+            n_ref = max(self.kkt_refine_n, 1 if aug_on else 0)
             if n_ref > 0 and resolve is not None:
                 for _ in range(n_ref):
                     Hdz = (

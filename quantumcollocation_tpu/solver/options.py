@@ -118,10 +118,14 @@ class SolverOptions:
     # the f32 residual through the SAME kept factorization (triangular
     # work only).  Each pass multiplies the backward error by ~eps*cond —
     # the d=47 vectorized-lanes family measured rel_err 9.3e-5 vs dense
-    # f64 (artifacts/tpu_lanes_vec_r04.json), uncomfortably near the 1e-4
-    # scoring band; one pass buys ~3 digits for ~20% solve cost.  Implies
-    # factor-keeping on the xla/fused-lanes backends (like soc).
-    kkt_refine: int = 0
+    # f64, one pass on real TPU lands 2.9e-7
+    # (artifacts/tpu_refine_d47_r05.json), comfortably past the 1e-4
+    # scoring band.  Implies factor-keeping on the xla/fused-lanes
+    # backends (like soc).  "auto" = 1 pass exactly when the fused lanes
+    # backend runs the VECTORIZED family (stage dims above lanes_max_dim
+    # — the family whose full-width frontier arithmetic carries the error
+    # band), else 0.  An int forces.
+    kkt_refine: Any = "auto"
     resto_kappa: float = 0.1
     resto_zeta: float = 1e-3
     resto_max_iters: int = 10
