@@ -643,10 +643,11 @@ def _run_config_subprocess(name, args, timeout_s=1500):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=512)
-    # sweep-tuned (v5e-1, filter line search + analytic Pallas bank):
-    # 44 iters -> frac_ok 0.986 at 576 solves/s/chip; 40 -> 0.96 at 618;
-    # 48 -> 1.00 at 535
-    parser.add_argument("--iters", type=int, default=44)
+    # round-5 sweep (v5e-1, fused assembly + resto_trigger=8, B=512,
+    # identical seeds): 44 iters -> frac 0.908; 48 -> 0.961; 52 -> 0.982
+    # (artifacts/tpu_fused_quality_ab_r05.json).  48 balances headline
+    # value (~572 solves/s) against converged_frac
+    parser.add_argument("--iters", type=int, default=48)
     parser.add_argument("--iters-2q", dest="iters_2q", type=int, default=80)
     parser.add_argument(
         "--iters-leakage", dest="iters_leakage", type=int, default=120,

@@ -104,7 +104,12 @@ class SolverOptions:
     # Gauss-Newton Hessian modes only (L-BFGS's sigma*I model never
     # produces the degenerate steps restoration exists for).
     restoration: bool = True
-    resto_trigger: int = 4
+    # trigger 8 (not 4): real-TPU headline A/B (B=512 Hadamard, 44 iters,
+    # artifacts/tpu_fused_quality_ab_r05.json) measured trigger=4 entering
+    # episodes on transiently-rejected but CONVERGING instances, costing
+    # converged_frac 0.912 -> 0.881; trigger=8 restores 0.908 while still
+    # catching genuine stalls (the manufactured-stall tests pass unchanged)
+    resto_trigger: int = 8
     # fused dynamics assembly: ONE Pallas kernel computes F/A/B and the
     # defect curvature Hc/Cc for every (instance, knot) lane
     # (ops/pallas_dyn_assembly.py), replacing the bank kernel plus ~40
