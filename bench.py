@@ -123,6 +123,15 @@ def _timed(solver, seeds_fn, iters, repeats, dtype, seg=None):
     state = solve(jnp.asarray(seeds_fn(7), dtype))
     jax.block_until_ready(state)
     compile_s = time.perf_counter() - t_c0
+    # discarded warm run on FRESH inputs: the relay systematically stalls
+    # the first fresh-input invocation of a new executable (measured
+    # 100-270 s for sub-second solves, then 0.4 s on every later repeat —
+    # scripts/tpu_fused_micro.py walls [111430, 99, 101, 114] ms and both
+    # round-5 rehearsals' first configs); absorbing it here keeps the
+    # stall out of the timed repeats and out of the >60 s abort guard
+    warm = solve(jnp.asarray(seeds_fn(6), dtype))
+    jax.block_until_ready(warm)
+    _ = float(np.asarray(warm.kkt_err).sum())
     times = []
     for rep in range(repeats):
         Z0j = jnp.asarray(seeds_fn(42 + rep), dtype)
@@ -510,7 +519,16 @@ def bench_su4_multigoal(qct, args, dtype):
             state = solve(Z0j)
             jax.block_until_ready(state)
             compile_s = time.perf_counter() - t0
-            # re-time the same wave with fresh control noise for honest wall
+            # fresh-noise warm run absorbs the relay's systematic
+            # first-fresh-input stall (see _timed), then re-time honestly
+            with _build_ctx():
+                Zw = np.asarray(multigoal_initial_decisions(
+                    prob, gw, n_seeds_per_goal=n_seeds, sigma=0.2,
+                    rng=np.random.default_rng(300 + w),
+                ))
+            warm = solve(jnp.asarray(Zw, dtype))
+            jax.block_until_ready(warm)
+            _ = float(np.asarray(warm.kkt_err).sum())
             with _build_ctx():
                 Z0 = np.asarray(multigoal_initial_decisions(
                     prob, gw, n_seeds_per_goal=n_seeds, sigma=0.2,
@@ -654,7 +672,11 @@ def main():
         help="leakage-config IPM iterations (slow-converger tail reaches "
         "the 1e-4 bar by ~120; docs in bench_transmon_leakage)",
     )
-    parser.add_argument("--kappa-mu", dest="kappa_mu", type=float, default=0.1)
+    # 0.2 (Ipopt's default): the round-2 kappa_mu=0.1 tuning went stale —
+    # round-5 sweep at 48 iters (filter LS): frac@1e-4 0.889 at 0.1 vs
+    # 0.982 at 0.2; min_time 312.9 solves/s at success 0.973 and leakage
+    # frac@1e-4 1.000 confirm 0.2 across configs
+    parser.add_argument("--kappa-mu", dest="kappa_mu", type=float, default=0.2)
     parser.add_argument(
         "--lanes-vec-max-dim", dest="lanes_vec_max_dim", type=int,
         default=None,

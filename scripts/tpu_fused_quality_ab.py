@@ -28,9 +28,14 @@ def _cpu():
 
 
 VARIANTS = [
-    ("default44", dict()),
-    ("iters48", dict(_iters=48)),
-    ("iters52", dict(_iters=52)),
+    # bench-exact baseline (filter LS, kappa_mu=0.1) vs the knobs the
+    # earlier sweep accidentally changed (merit LS, kappa_mu=0.2)
+    ("flt_km01_48", dict(line_search="filter", kappa_mu=0.1, _iters=48)),
+    ("flt_km02_48", dict(line_search="filter", kappa_mu=0.2, _iters=48)),
+    ("mrt_km02_48", dict(line_search="merit", kappa_mu=0.2, _iters=48)),
+    ("mrt_km01_48", dict(line_search="merit", kappa_mu=0.1, _iters=48)),
+    ("flt_km02_52", dict(line_search="filter", kappa_mu=0.2, _iters=52)),
+    ("mrt_km02_44", dict(line_search="merit", kappa_mu=0.2, _iters=44)),
 ]
 for label, kw in VARIANTS:
     kw = dict(kw)
